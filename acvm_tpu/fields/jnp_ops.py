@@ -1,0 +1,257 @@
+"""Batched prime-field arithmetic on TPU: 16x16-bit limbs, Montgomery form.
+
+This is the compute core of the batched witness solver.  Every op is
+elementwise over arbitrary leading batch dimensions with a trailing limb axis
+of NUM_LIMBS uint32 lanes (each holding a 16-bit limb).  Design notes for TPU:
+
+* no 64-bit integers (TPU int path is 32-bit): 16-bit limbs keep every partial
+  product < 2^32 and leave ~10 bits of headroom for lazy carry accumulation;
+* the Montgomery multiply (CIOS with lazy carries) does its 16 outer iterations
+  with NO inner carry chains — accumulator limbs stay below ~2^23 and a single
+  final normalization pass propagates carries, which XLA vectorizes cleanly
+  over the batch;
+* modular inverse is Fermat (x^(p-2)) via lax.scan over the static exponent
+  bits, so it compiles to one compact loop regardless of batch size.
+
+Semantics mirror the host FieldElement (`acvm_tpu.fields.field`), which is the
+bit-exactness oracle; `tests/test_limb_field.py` checks them against each other
+on random vectors.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .params import FieldParams, BN254_FR, LIMB_BITS, NUM_LIMBS
+from .limbs import int_to_limbs
+
+MASK = (1 << LIMB_BITS) - 1
+
+
+class LimbContext:
+    """Device-side constants for one field (modulus limbs, Montgomery R^2,
+    n0', exponent bits for inversion)."""
+
+    def __init__(self, params: FieldParams = BN254_FR):
+        self.params = params
+        self.p_limbs = jnp.asarray(int_to_limbs(params.modulus), dtype=jnp.uint32)
+        self.r2_limbs = jnp.asarray(int_to_limbs(params.r2), dtype=jnp.uint32)
+        self.one_limbs = jnp.asarray(int_to_limbs(1), dtype=jnp.uint32)
+        self.r_limbs = jnp.asarray(int_to_limbs(params.r), dtype=jnp.uint32)
+        self.zero_limbs = jnp.zeros((NUM_LIMBS,), dtype=jnp.uint32)
+        self.n0_inv = jnp.uint32(params.n0_inv)
+        # Exponent bits of p-2, MSB first, for Fermat inversion.
+        exponent = params.modulus - 2
+        nbits = exponent.bit_length()
+        self.inv_exp_bits = jnp.asarray(
+            [(exponent >> (nbits - 1 - i)) & 1 for i in range(nbits)],
+            dtype=jnp.bool_,
+        )
+
+    # ---- comparison helpers -------------------------------------------------
+    def _geq_p(self, a: jnp.ndarray) -> jnp.ndarray:
+        """a >= p, elementwise over the batch.  a must be normalized."""
+        return _geq(a, self.p_limbs)
+
+    # ---- modular add / sub --------------------------------------------------
+    def add(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        s = _carry_propagate(a.astype(jnp.uint32) + b.astype(jnp.uint32))
+        return _cond_sub(s, self.p_limbs)
+
+    def sub(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        # a - b + p, then conditional subtract p.
+        s = _carry_propagate(
+            a.astype(jnp.uint32) + self.p_limbs.astype(jnp.uint32) + _neg_limbs(b)
+        )
+        # a + (2^256 - b) + p == a - b + p + 2^256; drop the 2^256 carry which
+        # _carry_propagate discards beyond NUM_LIMBS... handled in _neg via
+        # two's-complement; see _neg_limbs.
+        return _cond_sub(s, self.p_limbs)
+
+    def neg(self, a: jnp.ndarray) -> jnp.ndarray:
+        # p - a, with p - 0 = p mapped back to 0 by the conditional subtract.
+        s = _carry_propagate(
+            self.p_limbs.astype(jnp.uint32) + _neg_limbs(a)
+        )
+        return _cond_sub(s, self.p_limbs)
+
+    # ---- Montgomery multiply ------------------------------------------------
+    def mont_mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """(a * b * R^-1) mod p for a,b < p in limb form.
+
+        CIOS with lazy carries: accumulator limbs stay < ~2^23, normalized once
+        at the end.
+        """
+        shape = jnp.broadcast_shapes(a.shape, b.shape)
+        a = jnp.broadcast_to(a, shape)
+        b = jnp.broadcast_to(b, shape)
+        t = jnp.zeros(shape[:-1] + (NUM_LIMBS + 1,), dtype=jnp.uint32)
+        p = self.p_limbs
+
+        for i in range(NUM_LIMBS):
+            ai = a[..., i : i + 1]
+            prod = ai * b  # (..., NUM_LIMBS), each < 2^32
+            lo = prod & MASK
+            hi = prod >> LIMB_BITS
+            t = t.at[..., :NUM_LIMBS].add(lo)
+            t = t.at[..., 1 : NUM_LIMBS + 1].add(hi)
+
+            m = ((t[..., 0:1] & MASK) * self.n0_inv) & MASK
+            prod_p = m * p
+            lo_p = prod_p & MASK
+            hi_p = prod_p >> LIMB_BITS
+            t = t.at[..., :NUM_LIMBS].add(lo_p)
+            t = t.at[..., 1 : NUM_LIMBS + 1].add(hi_p)
+
+            # Shift down one limb: t[0] is divisible by 2^16; its high part
+            # carries into the next limb.
+            carry = t[..., 0:1] >> LIMB_BITS
+            t = jnp.concatenate(
+                [
+                    t[..., 1:2] + carry,
+                    t[..., 2:],
+                    jnp.zeros(shape[:-1] + (1,), dtype=jnp.uint32),
+                ],
+                axis=-1,
+            )
+
+        t = _carry_propagate_wide(t)  # -> (..., NUM_LIMBS), value < 2p
+        return _cond_sub(t, p)
+
+    def mont_sq(self, a: jnp.ndarray) -> jnp.ndarray:
+        return self.mont_mul(a, a)
+
+    def to_mont(self, a: jnp.ndarray) -> jnp.ndarray:
+        return self.mont_mul(a, self.r2_limbs)
+
+    def from_mont(self, a: jnp.ndarray) -> jnp.ndarray:
+        return self.mont_mul(a, self.one_limbs)
+
+    # ---- inversion / division ----------------------------------------------
+    def mont_inv(self, a: jnp.ndarray) -> jnp.ndarray:
+        """Inverse in Montgomery form: inv(aR) = a^-1 R.  Zero maps to zero
+        (matching the reference FieldElement::inverse)."""
+        # Fermat: (aR)^(p-2) scaled appropriately.  Working purely in
+        # Montgomery ops: pow_mont(x, p-2) computes x^(p-2) R^-(p-3)... easier:
+        # define mpow on Montgomery values: result starts at R (the Montgomery
+        # one) and mont_mul chains keep everything in Montgomery form, yielding
+        # (a^(p-2)) in Montgomery form = a^-1 R since a^(p-2) = a^-1.
+        acc0 = jnp.broadcast_to(self.r_limbs, a.shape).astype(jnp.uint32)
+
+        def body(acc, bit):
+            acc = self.mont_sq(acc)
+            acc = jnp.where(bit, self.mont_mul(acc, a), acc)
+            return acc, None
+
+        acc, _ = jax.lax.scan(body, acc0, self.inv_exp_bits)
+        # a == 0 -> result 0
+        is_zero = jnp.all(a == 0, axis=-1, keepdims=True)
+        return jnp.where(is_zero, jnp.zeros_like(acc), acc)
+
+    def mont_div(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        return self.mont_mul(a, self.mont_inv(b))
+
+    # ---- predicates ----------------------------------------------------------
+    @staticmethod
+    def is_zero(a: jnp.ndarray) -> jnp.ndarray:
+        return jnp.all(a == 0, axis=-1)
+
+    @staticmethod
+    def eq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        return jnp.all(a == b, axis=-1)
+
+    # ---- bit/byte views (for range checks and hash gadgets) -----------------
+    @staticmethod
+    def num_bits_leq(a: jnp.ndarray, num_bits: int) -> jnp.ndarray:
+        """value < 2^num_bits, elementwise (the RANGE constraint)."""
+        full_limbs = num_bits // LIMB_BITS
+        rem = num_bits % LIMB_BITS
+        ok = jnp.ones(a.shape[:-1], dtype=jnp.bool_)
+        if full_limbs < NUM_LIMBS:
+            if rem:
+                ok = ok & (a[..., full_limbs] < (1 << rem))
+                start = full_limbs + 1
+            else:
+                start = full_limbs
+            if start < NUM_LIMBS:
+                ok = ok & jnp.all(a[..., start:] == 0, axis=-1)
+        return ok
+
+    @staticmethod
+    def mask_bits(a: jnp.ndarray, num_bits: int) -> jnp.ndarray:
+        """a mod 2^num_bits on limbs."""
+        full_limbs = num_bits // LIMB_BITS
+        rem = num_bits % LIMB_BITS
+        idx = jnp.arange(NUM_LIMBS)
+        keep_full = idx < full_limbs
+        partial = idx == full_limbs
+        mask = jnp.where(keep_full, MASK, 0).astype(jnp.uint32)
+        if rem:
+            mask = jnp.where(partial, (1 << rem) - 1, mask).astype(jnp.uint32)
+        return a & mask
+
+
+# ---------------------------------------------------------------------------
+# free helpers
+# ---------------------------------------------------------------------------
+
+
+def _carry_propagate(t: jnp.ndarray) -> jnp.ndarray:
+    """Normalize (..., NUM_LIMBS) accumulations into canonical 16-bit limbs.
+    Any carry out of the top limb is discarded (callers guarantee it encodes a
+    multiple of 2^256 that was introduced by two's-complement negation)."""
+    out = []
+    carry = jnp.zeros(t.shape[:-1], dtype=jnp.uint32)
+    for i in range(t.shape[-1]):
+        v = t[..., i] + carry
+        out.append(v & MASK)
+        carry = v >> LIMB_BITS
+    return jnp.stack(out, axis=-1)
+
+
+def _carry_propagate_wide(t: jnp.ndarray) -> jnp.ndarray:
+    """Normalize a (..., NUM_LIMBS+1) lazy accumulator; the value is known to
+    be < 2p < 2^255 so the top limb ends up zero and is dropped."""
+    out = []
+    carry = jnp.zeros(t.shape[:-1], dtype=jnp.uint32)
+    for i in range(t.shape[-1]):
+        v = t[..., i] + carry
+        out.append(v & MASK)
+        carry = v >> LIMB_BITS
+    return jnp.stack(out[:NUM_LIMBS], axis=-1)
+
+
+def _neg_limbs(a: jnp.ndarray) -> jnp.ndarray:
+    """Two's complement of the 256-bit value: (2^256 - a) as unnormalized limbs
+    (each limb complemented, +1 on the lowest).  Adding this is subtraction mod
+    2^256 — combined with adding p and a final conditional reduction this
+    implements modular subtraction."""
+    comp = (~a) & MASK
+    one = jnp.zeros_like(a).at[..., 0].set(1)
+    return comp + one
+
+
+def _geq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Lexicographic a >= b on normalized limb arrays (broadcasts)."""
+    a, b = jnp.broadcast_arrays(a, b)
+    gt = a > b
+    lt = a < b
+    result = jnp.ones(a.shape[:-1], dtype=jnp.bool_)  # equal -> True
+    # Scan from most significant limb down.
+    decided = jnp.zeros(a.shape[:-1], dtype=jnp.bool_)
+    for i in range(a.shape[-1] - 1, -1, -1):
+        result = jnp.where(~decided & gt[..., i], True, result)
+        result = jnp.where(~decided & lt[..., i], False, result)
+        decided = decided | gt[..., i] | lt[..., i]
+    return result
+
+
+def _cond_sub(a: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """a - p where a >= p, else a.  a normalized, a < 2p."""
+    need = _geq(a, p)[..., None]
+    diff = _carry_propagate(a + _neg_limbs(jnp.broadcast_to(p, a.shape)))
+    return jnp.where(need, diff, a)

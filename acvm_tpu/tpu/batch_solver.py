@@ -1,0 +1,629 @@
+"""Batched witness solver: executes a `Plan` over N circuit instances on TPU.
+
+State per batch:
+
+* ``W``   — (B, num_witnesses, NUM_LIMBS) uint32, standard-form limb values;
+* ``ok``  — (B,) bool, per-instance satisfiability flag (the data-parallel
+  analogue of the reference's UnsatisfiedConstrain / IndexOutOfBounds errors —
+  a failing instance flips its flag instead of aborting the batch);
+* memory blocks — (B, size, NUM_LIMBS) per ACIR memory block.
+
+The plan's levels are fused into jitted *segments*; host stages (permutation
+sorts, EC gadgets pending limb kernels, non-straight-line Brillig) run between
+segments through the bit-exact sequential solvers.  Instances are independent,
+so sharding the B axis over a `jax.sharding.Mesh` scales the whole solve
+data-parallel across chips (`acvm_tpu.parallel`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..acir.witness import Witness, WitnessMap
+from ..acir import opcodes as ops
+from ..blackbox import BlackBoxFunctionSolver, GrumpkinSolver
+from ..fields.field import FieldElement
+from ..fields.jnp_ops import LimbContext
+from ..fields.params import LIMB_BITS, NUM_LIMBS
+from ..fields.limbs import int_to_limbs
+from ..pwg.errors import OpcodeResolutionError
+from . import intops
+from .brillig_trace import trace_brillig
+from .planner import (
+    ArithCheckGate,
+    ArithSolveGate,
+    BrilligTraceStage,
+    ExprPlan,
+    HostStage,
+    Level,
+    LogicGate,
+    MemoryInitStage,
+    MemoryOpStage,
+    Plan,
+    QuotientGate,
+    RangeCheck,
+    ToLeRadixGate,
+)
+
+MASK16 = (1 << LIMB_BITS) - 1
+
+
+# ---------------------------------------------------------------------------
+# Packing (host, numpy)
+# ---------------------------------------------------------------------------
+
+
+def _limbs_of(value: int) -> np.ndarray:
+    return np.asarray(int_to_limbs(value), dtype=np.uint32)
+
+
+def pack_exprs(exprs: List[ExprPlan]) -> Dict[str, np.ndarray]:
+    E = len(exprs)
+    n = max((len(e.lin_idx) for e in exprs), default=0)
+    m = max((len(e.mul_idx) for e in exprs), default=0)
+    lin_idx = np.zeros((E, n), dtype=np.int32)
+    lin_coeff = np.zeros((E, n, NUM_LIMBS), dtype=np.uint32)
+    mul_idx = np.zeros((E, m, 2), dtype=np.int32)
+    mul_coeff = np.zeros((E, m, NUM_LIMBS), dtype=np.uint32)
+    qc = np.zeros((E, NUM_LIMBS), dtype=np.uint32)
+    for i, e in enumerate(exprs):
+        for j, (w, c) in enumerate(zip(e.lin_idx, e.lin_coeff_r)):
+            lin_idx[i, j] = w
+            lin_coeff[i, j] = _limbs_of(c)
+        for k, ((wl, wr), c) in enumerate(zip(e.mul_idx, e.mul_coeff_r2)):
+            mul_idx[i, k] = (wl, wr)
+            mul_coeff[i, k] = _limbs_of(c)
+        qc[i] = _limbs_of(e.qc)
+    return dict(
+        lin_idx=lin_idx, lin_coeff=lin_coeff,
+        mul_idx=mul_idx, mul_coeff=mul_coeff, qc=qc,
+    )
+
+
+def _range_zero_mask(num_bits: int) -> np.ndarray:
+    """Bits that must be zero for value < 2^num_bits, as 16-bit limb masks."""
+    mask = np.zeros(NUM_LIMBS, dtype=np.uint32)
+    for limb in range(NUM_LIMBS):
+        lo = limb * LIMB_BITS
+        allowed = max(0, min(LIMB_BITS, num_bits - lo))
+        mask[limb] = (MASK16 ^ ((1 << allowed) - 1)) & MASK16
+    return mask
+
+
+def _allow_mask(num_bits: int) -> np.ndarray:
+    return (~_range_zero_mask(num_bits)) & MASK16
+
+
+# ---------------------------------------------------------------------------
+# Device kernels (operate on jnp arrays; called inside jit)
+# ---------------------------------------------------------------------------
+
+
+def eval_exprs(ctx: LimbContext, W: jnp.ndarray, pack) -> jnp.ndarray:
+    """Evaluate E packed expressions for every instance: (B, E, NUM_LIMBS)."""
+    B = W.shape[0]
+    E = pack["qc"].shape[0]
+    acc = jnp.broadcast_to(pack["qc"][None], (B, E, NUM_LIMBS))
+    n = pack["lin_idx"].shape[1]
+    for j in range(n):
+        vals = jnp.take(W, pack["lin_idx"][:, j], axis=1)  # (B, E, L)
+        term = ctx.mont_mul(pack["lin_coeff"][None, :, j], vals)
+        acc = ctx.add(acc, term)
+    m = pack["mul_idx"].shape[1]
+    for k in range(m):
+        v1 = jnp.take(W, pack["mul_idx"][:, k, 0], axis=1)
+        v2 = jnp.take(W, pack["mul_idx"][:, k, 1], axis=1)
+        prod = ctx.mont_mul(v1, v2)  # w1*w2*R^-1
+        term = ctx.mont_mul(pack["mul_coeff"][None, :, k], prod)
+        acc = ctx.add(acc, term)
+    return acc
+
+
+def run_arith_solve_static(ctx, W, ok, buf):
+    num = eval_exprs(ctx, W, buf["num"])
+    val = ctx.mont_mul(buf["neg_inv"][None], num)  # -num / den_const
+    return W.at[:, buf["u_idx"]].set(val), ok
+
+
+def run_arith_solve_dyn(ctx, W, ok, buf):
+    num = eval_exprs(ctx, W, buf["num"])
+    den = jnp.broadcast_to(
+        buf["den_const"][None], (W.shape[0],) + buf["den_const"].shape
+    )
+    d = buf["dyn_idx"].shape[1]
+    for j in range(d):
+        vals = jnp.take(W, buf["dyn_idx"][:, j], axis=1)
+        den = ctx.add(den, ctx.mont_mul(buf["dyn_coeff"][None, :, j], vals))
+    den_zero = ctx.is_zero(den)
+    num_zero = ctx.is_zero(num)
+    inv_m = ctx.mont_inv(ctx.to_mont(den))  # den^-1 * R
+    val = ctx.mont_mul(ctx.neg(num), inv_m)  # -num/den
+    val = jnp.where(den_zero[..., None], 0, val)
+    # den == 0 & num != 0 -> unsatisfied (arithmetic.rs:46-54).
+    ok = ok & jnp.all(~den_zero | num_zero, axis=1)
+    return W.at[:, buf["u_idx"]].set(val), ok
+
+
+def run_arith_check(ctx, W, ok, buf):
+    val = eval_exprs(ctx, W, buf["expr"])
+    return W, ok & jnp.all(ctx.is_zero(val), axis=1)
+
+
+def run_range(ctx, W, ok, buf):
+    vals = jnp.take(W, buf["w_idx"], axis=1)  # (B, G, L)
+    bad = jnp.any((vals & buf["zero_mask"][None]) != 0, axis=(-1, -2))
+    return W, ok & ~bad
+
+
+def run_logic(ctx, W, ok, buf, is_xor):
+    a = jnp.take(W, buf["lhs"], axis=1)
+    b = jnp.take(W, buf["rhs"], axis=1)
+    mask = buf["allow_mask"][None]
+    res = ((a ^ b) if is_xor else (a & b)) & mask
+    return W.at[:, buf["out"]].set(res), ok
+
+
+def run_quotient(ctx, W, ok, buf):
+    a = eval_exprs(ctx, W, buf["a"])
+    b = eval_exprs(ctx, W, buf["b"])
+    pred = eval_exprs(ctx, W, buf["pred"])
+    active = ~ctx.is_zero(pred)  # (B, G)
+    q, r = intops.long_divmod(a, b, num_bits=256)
+    q = jnp.where(active[..., None], q, 0)
+    r = jnp.where(active[..., None], r, 0)
+    W = W.at[:, buf["q_idx"]].set(q)
+    W = W.at[:, buf["r_idx"]].set(r)
+    return W, ok
+
+
+def run_to_le_radix(ctx, W, ok, buf):
+    vals = eval_exprs(ctx, W, buf["value"])  # (B, G, L)
+    # Capacity check: digits beyond the provided witnesses must be zero
+    # (directives/mod.rs:67-71).
+    bad = jnp.any((vals & buf["overflow_mask"][None]) != 0, axis=(-1, -2))
+    ok = ok & ~bad
+    dvals = jnp.take(vals, buf["d_gate"], axis=1)  # (B, D, L)
+    lo = jnp.take_along_axis(
+        dvals, buf["d_limb"][None, :, None], axis=-1
+    )[..., 0]
+    hi = jnp.take_along_axis(
+        dvals, buf["d_limb_hi"][None, :, None], axis=-1
+    )[..., 0]
+    shift_up = (LIMB_BITS - buf["d_bitoff"][None]) % 32
+    word = (lo >> buf["d_bitoff"][None]) | (hi << shift_up)
+    digits = word & buf["d_mask"][None]
+    out = jnp.zeros(digits.shape + (NUM_LIMBS,), dtype=jnp.uint32)
+    out = out.at[..., 0].set(digits)
+    return W.at[:, buf["out_idx"]].set(out), ok
+
+
+def run_memory_init(ctx, W, ok, mem, buf):
+    block = mem[buf["block_key"]]
+    vals = jnp.take(W, buf["init_idx"], axis=1)  # (B, len, L)
+    block = block.at[:, : vals.shape[1]].set(vals)
+    mem = dict(mem)
+    mem[buf["block_key"]] = block
+    return W, ok, mem
+
+
+def _expr_to_u32_index(ctx, val, ok):
+    """Convert an evaluated field value (B, 1, L) to a u32 index; values that
+    do not fit flip the ok flag (the reference panics on try_to_u64 failure)."""
+    idx = val[..., 0, 0] | (val[..., 0, 1] << LIMB_BITS)
+    too_big = jnp.any(val[..., 0, 2:] != 0, axis=-1)
+    return idx, ok & ~too_big
+
+
+def run_memory_op(ctx, W, ok, mem, buf):
+    block = mem[buf["block_key"]]
+    size = block.shape[1]
+    idx_val = eval_exprs(ctx, W, buf["index"])  # (B, 1, L)
+    idx, ok = _expr_to_u32_index(ctx, idx_val, ok)
+    pred = eval_exprs(ctx, W, buf["pred"])
+    active = ~ctx.is_zero(pred)[:, 0]  # (B,)
+    in_bounds = idx < size
+    ok = ok & (in_bounds | ~active)
+    idx_c = jnp.minimum(idx, size - 1)
+    batch = jnp.arange(W.shape[0])
+    if buf["is_read"]:
+        read = block[batch, idx_c]  # (B, L)
+        read = jnp.where((active & in_bounds)[:, None], read, 0)
+        W = W.at[:, buf["read_into"]].set(read)
+    else:
+        value = eval_exprs(ctx, W, buf["value"])[:, 0]  # (B, L)
+        old = block[batch, idx_c]
+        newv = jnp.where((active & in_bounds)[:, None], value, old)
+        block = block.at[batch, idx_c].set(newv)
+        mem = dict(mem)
+        mem[buf["block_key"]] = block
+    return W, ok, mem
+
+
+def run_brillig(ctx, W, ok, stage: BrilligTraceStage, packs):
+    B = W.shape[0]
+    input_regs = []
+    for (kind, _), pack in zip(stage.inputs, packs["inputs"]):
+        if kind == "single":
+            input_regs.append(eval_exprs(ctx, W, pack)[:, 0])
+        else:
+            # Array inputs load a memory pointer; traceable bytecode has no
+            # Load/Store so arrays only matter for foreign calls (host path).
+            raise NotImplementedError(
+                "array inputs require Load/Store and take the host VM path"
+            )
+    regs = trace_brillig(ctx, B, stage.bytecode, input_regs)
+    if stage.predicate is not None:
+        pred = eval_exprs(ctx, W, packs["pred"])
+        active = ~ctx.is_zero(pred)[:, 0]
+    else:
+        active = None
+    for reg_index, witness in stage.output_simple:
+        val = regs.get_arr(reg_index)
+        if active is not None:
+            val = jnp.where(active[:, None], val, 0)
+        W = W.at[:, witness].set(val)
+    return W, ok
+
+
+# ---------------------------------------------------------------------------
+# Solver
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _Segment:
+    levels: List[dict]  # packed device buffers per level
+    host_stages: List[HostStage]  # run after the device levels
+
+
+class BatchSolver:
+    def __init__(
+        self,
+        plan: Plan,
+        backend: Optional[BlackBoxFunctionSolver] = None,
+        foreign_call_handler: Optional[Callable] = None,
+    ):
+        self.plan = plan
+        self.ctx = LimbContext(plan.params)
+        self.backend = backend or GrumpkinSolver()
+        self.foreign_call_handler = foreign_call_handler
+        self.segments = self._build_segments()
+        self._segment_fns: Dict[int, Callable] = {}
+
+    # -- packing ------------------------------------------------------------
+    def _pack_level(self, level: Level) -> dict:
+        packed: dict = {"kinds": []}
+
+        static_gates = [g for g in level.arith_solve if g.neg_inv_den_r is not None]
+        dyn_gates = [g for g in level.arith_solve if g.neg_inv_den_r is None]
+        if static_gates:
+            packed["kinds"].append("arith_static")
+            packed["arith_static"] = dict(
+                num=pack_exprs([g.num for g in static_gates]),
+                u_idx=np.asarray([g.unknown for g in static_gates], np.int32),
+                neg_inv=np.stack([_limbs_of(g.neg_inv_den_r) for g in static_gates]),
+            )
+        if dyn_gates:
+            packed["kinds"].append("arith_dyn")
+            d = max(len(g.den_dyn_idx) for g in dyn_gates)
+            dyn_idx = np.zeros((len(dyn_gates), d), np.int32)
+            dyn_coeff = np.zeros((len(dyn_gates), d, NUM_LIMBS), np.uint32)
+            for i, g in enumerate(dyn_gates):
+                for j, (w, c) in enumerate(zip(g.den_dyn_idx, g.den_dyn_coeff_r)):
+                    dyn_idx[i, j] = w
+                    dyn_coeff[i, j] = _limbs_of(c)
+            packed["arith_dyn"] = dict(
+                num=pack_exprs([g.num for g in dyn_gates]),
+                u_idx=np.asarray([g.unknown for g in dyn_gates], np.int32),
+                den_const=np.stack([_limbs_of(g.den_const) for g in dyn_gates]),
+                dyn_idx=dyn_idx,
+                dyn_coeff=dyn_coeff,
+            )
+        if level.arith_check:
+            packed["kinds"].append("arith_check")
+            packed["arith_check"] = dict(
+                expr=pack_exprs([g.expr for g in level.arith_check])
+            )
+        if level.range_checks:
+            packed["kinds"].append("range")
+            packed["range"] = dict(
+                w_idx=np.asarray([g.witness for g in level.range_checks], np.int32),
+                zero_mask=np.stack(
+                    [_range_zero_mask(g.num_bits) for g in level.range_checks]
+                ),
+            )
+        for is_xor, name in ((False, "and"), (True, "xor")):
+            gates = [g for g in level.logic if g.is_xor == is_xor]
+            if gates:
+                packed["kinds"].append(name)
+                packed[name] = dict(
+                    lhs=np.asarray([g.lhs for g in gates], np.int32),
+                    rhs=np.asarray([g.rhs for g in gates], np.int32),
+                    out=np.asarray([g.output for g in gates], np.int32),
+                    allow_mask=np.stack([_allow_mask(g.num_bits) for g in gates]),
+                )
+        if level.quotient:
+            packed["kinds"].append("quotient")
+            one = ExprPlan([], [], [], [], 1)
+            packed["quotient"] = dict(
+                a=pack_exprs([g.a for g in level.quotient]),
+                b=pack_exprs([g.b for g in level.quotient]),
+                pred=pack_exprs(
+                    [g.predicate if g.predicate else one for g in level.quotient]
+                ),
+                q_idx=np.asarray([g.q for g in level.quotient], np.int32),
+                r_idx=np.asarray([g.r for g in level.quotient], np.int32),
+            )
+        if level.to_le_radix:
+            packed["kinds"].append("to_le_radix")
+            gates = level.to_le_radix
+            d_gate, d_limb, d_bitoff, out_idx, d_mask = [], [], [], [], []
+            overflow = []
+            for gi, g in enumerate(gates):
+                bits_per = g.radix.bit_length() - 1
+                for di, w in enumerate(g.outputs):
+                    shift = di * bits_per
+                    d_gate.append(gi)
+                    d_limb.append(min(shift // LIMB_BITS, NUM_LIMBS - 1))
+                    d_bitoff.append(shift % LIMB_BITS)
+                    out_idx.append(w)
+                    d_mask.append(g.radix - 1)
+                overflow.append(_range_zero_mask(bits_per * len(g.outputs)))
+            d_limb = np.asarray(d_limb, np.int32)
+            packed["to_le_radix"] = dict(
+                value=pack_exprs([g.a for g in gates]),
+                d_gate=np.asarray(d_gate, np.int32),
+                d_limb=d_limb,
+                d_limb_hi=np.minimum(d_limb + 1, NUM_LIMBS - 1),
+                d_bitoff=np.asarray(d_bitoff, np.uint32),
+                d_mask=np.asarray(d_mask, np.uint32),
+                out_idx=np.asarray(out_idx, np.int32),
+                overflow_mask=np.stack(overflow),
+            )
+        if level.memory:
+            packed["kinds"].append("memory")
+            one = ExprPlan([], [], [], [], 1)
+            stages = []
+            for st in level.memory:
+                if isinstance(st, MemoryInitStage):
+                    stages.append(
+                        dict(
+                            kind="init",
+                            block_key=str(st.block_id),
+                            init_idx=np.asarray(st.init, np.int32),
+                        )
+                    )
+                else:
+                    stages.append(
+                        dict(
+                            kind="op",
+                            block_key=str(st.block_id),
+                            is_read=st.is_read,
+                            index=pack_exprs([st.index]),
+                            pred=pack_exprs([st.predicate or one]),
+                            read_into=st.read_into,
+                            value=pack_exprs([st.write_value])
+                            if st.write_value
+                            else None,
+                        )
+                    )
+            packed["memory"] = stages
+        if level.brillig:
+            packed["kinds"].append("brillig")
+            stage_packs = []
+            for st in level.brillig:
+                packs = dict(
+                    inputs=[
+                        pack_exprs([e])
+                        if kind == "single"
+                        else [pack_exprs([x]) for x in e]
+                        for kind, e in st.inputs
+                    ],
+                    pred=pack_exprs([st.predicate]) if st.predicate else None,
+                )
+                stage_packs.append((st, packs))
+            packed["brillig"] = stage_packs
+        return packed
+
+    def _build_segments(self) -> List[_Segment]:
+        segments: List[_Segment] = []
+        current = _Segment(levels=[], host_stages=[])
+        for level in self.plan.levels:
+            current.levels.append(self._pack_level(level))
+            if level.host:
+                current.host_stages = list(level.host)
+                segments.append(current)
+                current = _Segment(levels=[], host_stages=[])
+        if current.levels or current.host_stages:
+            segments.append(current)
+        return segments
+
+    # -- device execution ---------------------------------------------------
+    def _run_level(self, W, ok, mem, packed):
+        ctx = self.ctx
+        for kind in packed["kinds"]:
+            if kind == "arith_static":
+                W, ok = run_arith_solve_static(ctx, W, ok, packed[kind])
+            elif kind == "arith_dyn":
+                W, ok = run_arith_solve_dyn(ctx, W, ok, packed[kind])
+            elif kind == "arith_check":
+                W, ok = run_arith_check(ctx, W, ok, packed[kind])
+            elif kind == "range":
+                W, ok = run_range(ctx, W, ok, packed[kind])
+            elif kind in ("and", "xor"):
+                W, ok = run_logic(ctx, W, ok, packed[kind], kind == "xor")
+            elif kind == "quotient":
+                W, ok = run_quotient(ctx, W, ok, packed[kind])
+            elif kind == "to_le_radix":
+                W, ok = run_to_le_radix(ctx, W, ok, packed[kind])
+            elif kind == "memory":
+                for st in packed["memory"]:
+                    if st["kind"] == "init":
+                        W, ok, mem = run_memory_init(ctx, W, ok, mem, st)
+                    else:
+                        W, ok, mem = run_memory_op(ctx, W, ok, mem, st)
+            elif kind == "brillig":
+                for stage, packs in packed["brillig"]:
+                    W, ok = run_brillig(ctx, W, ok, stage, packs)
+            else:
+                raise AssertionError(kind)
+        return W, ok, mem
+
+    def _segment_fn(self, seg_index: int):
+        fn = self._segment_fns.get(seg_index)
+        if fn is None:
+            segment = self.segments[seg_index]
+
+            @jax.jit
+            def run(W, ok, mem):
+                for packed in segment.levels:
+                    W, ok, mem = self._run_level(W, ok, mem, packed)
+                return W, ok, mem
+
+            fn = run
+            self._segment_fns[seg_index] = fn
+        return fn
+
+    # -- host stages ---------------------------------------------------------
+    def _run_host_stages(self, W, ok, stages: List[HostStage]):
+        from ..pwg import blackbox as bb_dispatch
+        from ..pwg.brillig_solver import BrilligSolver
+        from ..pwg.directives import solve_directives
+
+        W_np = np.asarray(W)
+        ok_np = np.asarray(ok).copy()
+        B = W_np.shape[0]
+
+        # Columns worth materializing as Python ints.
+        needed = set()
+        writes = set()
+        for stage in stages:
+            needed.update(stage.known_before)
+            writes.update(stage.writes)
+        cols = sorted(needed)
+        col_pos = {w: i for i, w in enumerate(cols)}
+        ints = np.zeros((B, len(cols)), dtype=object)
+        for li in range(NUM_LIMBS):
+            ints += W_np[:, cols, li].astype(object) << (LIMB_BITS * li)
+
+        write_cols = sorted(writes)
+        wpos = {w: i for i, w in enumerate(write_cols)}
+        out_vals = np.zeros((B, len(write_cols)), dtype=object)
+
+        for b in range(B):
+            wm = WitnessMap()
+            for w in cols:
+                wm.insert(Witness(w), FieldElement(int(ints[b, col_pos[w]])))
+            for stage in stages:
+                for op_index in stage.opcode_indices:
+                    opcode = self.plan.circuit.opcodes[op_index]
+                    try:
+                        if isinstance(opcode, ops.OpcodeBlackBoxFuncCall):
+                            bb_dispatch.solve(self.backend, wm, opcode.call)
+                        elif isinstance(opcode, ops.OpcodeDirective):
+                            solve_directives(wm, opcode.directive)
+                        elif isinstance(opcode, ops.OpcodeBrillig):
+                            wait = BrilligSolver.solve(
+                                wm, opcode.brillig, self.backend, op_index
+                            )
+                            while wait is not None:
+                                if self.foreign_call_handler is None:
+                                    raise OpcodeResolutionError(
+                                        "foreign call requires a handler in "
+                                        "batched mode"
+                                    )
+                                from ..api import _decode_foreign_call_result
+
+                                inputs = [
+                                    [v.to_field() for v in group]
+                                    for group in wait.inputs
+                                ]
+                                result = self.foreign_call_handler(
+                                    wait.function, inputs
+                                )
+                                opcode.brillig.foreign_call_results.append(
+                                    _decode_foreign_call_result(result)
+                                )
+                                wait = BrilligSolver.solve(
+                                    wm, opcode.brillig, self.backend, op_index
+                                )
+                        else:
+                            raise AssertionError(opcode)
+                    except OpcodeResolutionError:
+                        ok_np[b] = False
+                        continue
+                for w in stage.writes:
+                    value = wm.get(Witness(w))
+                    out_vals[b, wpos[w]] = int(value) if value is not None else 0
+
+        # Push writes back as limb columns.
+        if write_cols:
+            limbs = np.zeros((B, len(write_cols), NUM_LIMBS), dtype=np.uint32)
+            for li in range(NUM_LIMBS):
+                limbs[:, :, li] = (
+                    (out_vals >> (LIMB_BITS * li)) & MASK16
+                ).astype(np.uint32)
+            W = jnp.asarray(W).at[:, np.asarray(write_cols, np.int32)].set(
+                jnp.asarray(limbs)
+            )
+        return W, jnp.asarray(ok_np)
+
+    # -- public API ----------------------------------------------------------
+    def initial_state(self, input_values: Sequence[Dict[int, int]]):
+        """Build (W, ok, mem) from per-instance {witness_index: int} dicts."""
+        B = len(input_values)
+        W = np.zeros((B, self.plan.num_witnesses, NUM_LIMBS), dtype=np.uint32)
+        for b, assignment in enumerate(input_values):
+            for w, v in assignment.items():
+                W[b, int(w)] = _limbs_of(int(v) % self.plan.params.modulus)
+        ok = np.ones((B,), dtype=bool)
+        mem = {
+            str(block_id): np.zeros((B, size, NUM_LIMBS), dtype=np.uint32)
+            for block_id, size in self.plan.memory_block_sizes.items()
+        }
+        return jnp.asarray(W), jnp.asarray(ok), {
+            k: jnp.asarray(v) for k, v in mem.items()
+        }
+
+    def solve(self, input_values: Sequence[Dict[int, int]]):
+        W, ok, mem = self.initial_state(input_values)
+        for i, segment in enumerate(self.segments):
+            if segment.levels:
+                W, ok, mem = self._segment_fn(i)(W, ok, mem)
+            if segment.host_stages:
+                W, ok = self._run_host_stages(W, ok, segment.host_stages)
+        return BatchResult(self, np.asarray(W), np.asarray(ok))
+
+
+class BatchResult:
+    def __init__(self, solver: BatchSolver, W: np.ndarray, ok: np.ndarray):
+        self.solver = solver
+        self.W = W
+        self.ok = ok
+
+    def witness_ints(self, witness_index: int) -> List[int]:
+        col = self.W[:, witness_index].astype(object)
+        acc = np.zeros((self.W.shape[0],), dtype=object)
+        for li in range(NUM_LIMBS):
+            acc += col[:, li] << (LIMB_BITS * li)
+        return [int(v) for v in acc]
+
+    def witness_maps(self) -> List[WitnessMap]:
+        """Full per-instance witness maps (for conformance checks)."""
+        out = []
+        B = self.W.shape[0]
+        acc = np.zeros(self.W.shape[:2], dtype=object)
+        for li in range(NUM_LIMBS):
+            acc += self.W[:, :, li].astype(object) << (LIMB_BITS * li)
+        for b in range(B):
+            wm = WitnessMap()
+            for w in range(self.W.shape[1]):
+                wm.insert(Witness(w), FieldElement(int(acc[b, w])))
+            out.append(wm)
+        return out

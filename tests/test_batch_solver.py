@@ -1,0 +1,265 @@
+"""Differential test: batched TPU solver vs the sequential bit-exact engine.
+
+Builds a circuit exercising every device kernel kind (arith solve static/dyn,
+checks, range, and/xor, quotient, to_le_radix, memory init/read/write,
+straight-line brillig) plus a host-stage directive, solves a small batch with
+both engines, and compares full witness maps.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from acvm_tpu import brillig as br
+from acvm_tpu.acir import Circuit, Expression, PublicInputs, Witness, WitnessMap
+from acvm_tpu.acir import opcodes as ops
+from acvm_tpu.blackbox import GrumpkinSolver
+from acvm_tpu.fields import FieldElement
+from acvm_tpu.pwg import ACVM, ACVMStatus
+from acvm_tpu.tpu import BatchSolver, plan_circuit
+
+fe = FieldElement
+one = FieldElement.one
+
+
+def build_mixed_circuit():
+    """Inputs: w1, w2 (private).  Produces a dozen derived witnesses through
+    every opcode family the device path supports."""
+    w = lambda i: Witness(i)
+    opcodes = []
+
+    # w3 = w1 + 2*w2 + 7        (arith solve, static coeff)
+    opcodes.append(
+        ops.OpcodeArithmetic(
+            Expression(
+                linear_combinations=[(one(), w(1)), (fe(2), w(2)), (-one(), w(3))],
+                q_c=fe(7),
+            )
+        )
+    )
+    # w4 = w1 * w2              (arith solve via mul term, static unknown coeff)
+    opcodes.append(
+        ops.OpcodeArithmetic(
+            Expression(
+                mul_terms=[(one(), w(1), w(2))],
+                linear_combinations=[(-one(), w(4))],
+            )
+        )
+    )
+    # w1 * w5 = w3  => solve w5 with dynamic denominator w1
+    opcodes.append(
+        ops.OpcodeArithmetic(
+            Expression(
+                mul_terms=[(one(), w(1), w(5))],
+                linear_combinations=[(-one(), w(3))],
+            )
+        )
+    )
+    # check: w4 - w1*w2 == 0    (pure check gate)
+    opcodes.append(
+        ops.OpcodeArithmetic(
+            Expression(
+                mul_terms=[(-one(), w(1), w(2))],
+                linear_combinations=[(one(), w(4))],
+            )
+        )
+    )
+    # range checks
+    opcodes.append(
+        ops.OpcodeBlackBoxFuncCall(
+            ops.BBRange(ops.FunctionInput(w(1), 32))
+        )
+    )
+    opcodes.append(
+        ops.OpcodeBlackBoxFuncCall(
+            ops.BBRange(ops.FunctionInput(w(2), 8))
+        )
+    )
+    # w6 = w1 AND w2 (8 bits), w7 = w1 XOR w2 (8 bits)
+    opcodes.append(
+        ops.OpcodeBlackBoxFuncCall(
+            ops.BBAnd(
+                ops.FunctionInput(w(1), 8), ops.FunctionInput(w(2), 8), w(6)
+            )
+        )
+    )
+    opcodes.append(
+        ops.OpcodeBlackBoxFuncCall(
+            ops.BBXor(
+                ops.FunctionInput(w(1), 8), ops.FunctionInput(w(2), 8), w(7)
+            )
+        )
+    )
+    # quotient: w3 / w2 -> q=w8, r=w9
+    opcodes.append(
+        ops.OpcodeDirective(
+            ops.DirQuotient(
+                ops.QuotientDirective(
+                    a=Expression.from_witness(w(3)),
+                    b=Expression.from_witness(w(2)),
+                    q=w(8),
+                    r=w(9),
+                    predicate=None,
+                )
+            )
+        )
+    )
+    # to_le_radix: w1 -> 4 bytes w10..w13 (radix 256)
+    opcodes.append(
+        ops.OpcodeDirective(
+            ops.DirToLeRadix(
+                a=Expression.from_witness(w(1)),
+                b=[w(10), w(11), w(12), w(13)],
+                radix=256,
+            )
+        )
+    )
+    # memory: init [w1, w2], write w3 at 1, read index (w2 mod small) -> w14
+    block = ops.BlockId(0)
+    opcodes.append(ops.OpcodeMemoryInit(block, [w(1), w(2)]))
+    opcodes.append(
+        ops.OpcodeMemoryOp(
+            block,
+            ops.MemOp.write_to_mem_index(
+                Expression.from_field(one()), Expression.from_witness(w(3))
+            ),
+            predicate=None,
+        )
+    )
+    opcodes.append(
+        ops.OpcodeMemoryOp(
+            block,
+            ops.MemOp.read_at_mem_index(Expression.from_field(one()), w(14)),
+            predicate=None,
+        )
+    )
+    # straight-line brillig: w15 = (w1 + w2) as field, w16 = w1 * 3 mod 2^32
+    opcodes.append(
+        ops.OpcodeBrillig(
+            ops.Brillig(
+                inputs=[
+                    ops.BrilligInputSingle(
+                        Expression(
+                            linear_combinations=[(one(), w(1)), (one(), w(2))]
+                        )
+                    ),
+                    ops.BrilligInputSingle(Expression.from_witness(w(1))),
+                ],
+                outputs=[
+                    ops.BrilligOutputSimple(w(15)),
+                    ops.BrilligOutputSimple(w(16)),
+                ],
+                foreign_call_results=[],
+                bytecode=[
+                    br.OpConst(br.RegisterIndex(2), br.Value(fe(3))),
+                    br.OpBinaryIntOp(
+                        br.RegisterIndex(1),
+                        br.BinaryIntOp.Mul,
+                        32,
+                        br.RegisterIndex(1),
+                        br.RegisterIndex(2),
+                    ),
+                ],
+                predicate=None,
+            )
+        )
+    )
+    # host-stage: permutation sort of (w1, w2) -> control bit w17
+    opcodes.append(
+        ops.OpcodeDirective(
+            ops.DirPermutationSort(
+                inputs=[
+                    [Expression.from_witness(w(1))],
+                    [Expression.from_witness(w(2))],
+                ],
+                tuple_size=1,
+                bits=[w(17)],
+                sort_by=[0],
+            )
+        )
+    )
+    # a gate depending on host-stage output: w18 = w17 + w15
+    opcodes.append(
+        ops.OpcodeArithmetic(
+            Expression(
+                linear_combinations=[
+                    (one(), w(17)),
+                    (one(), w(15)),
+                    (-one(), w(18)),
+                ]
+            )
+        )
+    )
+
+    return Circuit(
+        current_witness_index=18,
+        opcodes=opcodes,
+        private_parameters={w(1), w(2)},
+    )
+
+
+class StubbedBackend:
+    def schnorr_verify(self, *a):
+        raise AssertionError("not used")
+
+    def pedersen(self, *a):
+        raise AssertionError("not used")
+
+    def fixed_base_scalar_mul(self, *a):
+        raise AssertionError("not used")
+
+
+def sequential_solve(circuit, assignment):
+    wm = WitnessMap()
+    for k, v in assignment.items():
+        wm.insert(Witness(k), fe(v))
+    acvm = ACVM(StubbedBackend(), circuit.opcodes, wm)
+    status = acvm.solve()
+    return status, acvm
+
+
+def test_batch_matches_sequential():
+    circuit = build_mixed_circuit()
+    plan = plan_circuit(circuit)
+    solver = BatchSolver(plan)
+
+    rng = random.Random(7)
+    batch = []
+    for _ in range(4):
+        batch.append({1: rng.randrange(1, 1 << 32), 2: rng.randrange(1, 256)})
+
+    result = solver.solve(batch)
+    assert result.ok.all(), "all valid instances should satisfy the circuit"
+
+    batch_maps = result.witness_maps()
+    for assignment, got in zip(batch, batch_maps):
+        status, acvm = sequential_solve(circuit, assignment)
+        assert status == ACVMStatus.SOLVED
+        expected = acvm.finalize()
+        for w, value in expected:
+            assert got.get(w) == value, (int(w), int(value), int(got.get(w)))
+
+
+def test_batch_flags_unsatisfied_instance():
+    circuit = build_mixed_circuit()
+    plan = plan_circuit(circuit)
+    solver = BatchSolver(plan)
+
+    good = {1: 123456, 2: 77}
+    bad_range = {1: 1 << 33, 2: 77}  # w1 fails RANGE(32)
+    result = solver.solve([good, bad_range])
+    assert result.ok.tolist() == [True, False]
+
+    # Sequential engine agrees the bad instance fails.
+    status, acvm = sequential_solve(circuit, bad_range)
+    assert status == ACVMStatus.FAILURE
+
+
+def test_plan_shape():
+    circuit = build_mixed_circuit()
+    plan = plan_circuit(circuit)
+    assert plan.total_ops() == len(circuit.opcodes)
+    # host stage (permutation sort) must split the schedule into >= 2 segments
+    solver = BatchSolver(plan)
+    assert len(solver.segments) >= 2

@@ -288,11 +288,13 @@ class BatchSolver:
         plan: Plan,
         backend: Optional[BlackBoxFunctionSolver] = None,
         foreign_call_handler: Optional[Callable] = None,
+        mesh=None,
     ):
         self.plan = plan
         self.ctx = LimbContext(plan.params)
         self.backend = backend or GrumpkinSolver()
         self.foreign_call_handler = foreign_call_handler
+        self.mesh = mesh  # optional jax.sharding.Mesh: shard the batch axis
         self.segments = self._build_segments()
         self._segment_fns: Dict[int, Callable] = {}
 
@@ -587,9 +589,16 @@ class BatchSolver:
             str(block_id): np.zeros((B, size, NUM_LIMBS), dtype=np.uint32)
             for block_id, size in self.plan.memory_block_sizes.items()
         }
-        return jnp.asarray(W), jnp.asarray(ok), {
-            k: jnp.asarray(v) for k, v in mem.items()
-        }
+        state = (
+            jnp.asarray(W),
+            jnp.asarray(ok),
+            {k: jnp.asarray(v) for k, v in mem.items()},
+        )
+        if self.mesh is not None:
+            from ..parallel import shard_batch
+
+            state = shard_batch(state, self.mesh)
+        return state
 
     def solve(self, input_values: Sequence[Dict[int, int]]):
         W, ok, mem = self.initial_state(input_values)

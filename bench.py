@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Headline benchmark: witnesses solved/sec/chip on a 2^16-gate BN254 circuit.
+
+Solves a batch of independent instances of a 65,536-gate arithmetic circuit
+with the TPU batched engine and reports witness-solve throughput per chip.
+``vs_baseline`` compares against the sequential host engine solving the same
+circuit one instance at a time (the reference publishes no numbers of its own —
+see BASELINE.md).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Environment knobs: BENCH_BATCH (default 256), BENCH_LEVELS (8),
+BENCH_GATES_PER_LEVEL (8192), BENCH_SKIP_SEQ=1 to reuse the recorded
+sequential baseline instead of re-measuring it.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    levels = int(os.environ.get("BENCH_LEVELS", "8"))
+    gates_per_level = int(os.environ.get("BENCH_GATES_PER_LEVEL", "8192"))
+
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+
+    import jax
+
+    from acvm_tpu.tpu import BatchSolver, plan_circuit
+    from acvm_tpu.utils import build_wide_arith_circuit, random_inputs
+
+    num_gates = levels * gates_per_level
+    circuit = build_wide_arith_circuit(
+        num_levels=levels, gates_per_level=gates_per_level
+    )
+    plan = plan_circuit(circuit)
+    solver = BatchSolver(plan)
+    inputs = random_inputs(circuit, batch)
+
+    state = solver.initial_state(inputs)
+    fn = solver._segment_fn(0)
+
+    # Warm up / compile.
+    W, ok, mem = fn(*state)
+    W.block_until_ready()
+
+    t0 = time.perf_counter()
+    W, ok, mem = fn(*state)
+    W.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    assert bool(ok.all()), "benchmark circuit must be satisfiable"
+    witness_solves_per_sec = batch * num_gates / elapsed
+
+    # Sequential host-engine baseline (single instance).
+    if os.environ.get("BENCH_SKIP_SEQ"):
+        seq_per_sec = float(os.environ.get("BENCH_SEQ_RATE", "40000"))
+    else:
+        from acvm_tpu.acir import Witness, WitnessMap
+        from acvm_tpu.blackbox import StubBlackBoxSolver
+        from acvm_tpu.fields import FieldElement
+        from acvm_tpu.pwg import ACVM, ACVMStatus
+
+        wm = WitnessMap()
+        for w, v in inputs[0].items():
+            wm.insert(Witness(w), FieldElement(v))
+        t0 = time.perf_counter()
+        acvm = ACVM(StubBlackBoxSolver(), circuit.opcodes, wm)
+        status = acvm.solve()
+        seq_elapsed = time.perf_counter() - t0
+        assert status == ACVMStatus.SOLVED
+        seq_per_sec = num_gates / seq_elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "witness_solves_per_sec_per_chip_2e16_gate_bn254",
+                "value": round(witness_solves_per_sec, 2),
+                "unit": "witness solves/s/chip",
+                "vs_baseline": round(witness_solves_per_sec / seq_per_sec, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

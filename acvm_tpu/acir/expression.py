@@ -117,9 +117,9 @@ class Expression:
         if k.is_zero():
             return self.clone()
         if self.is_const():
-            return self.q_c + (k * b)
+            return b.scale(k).add_field(self.q_c)
         if b.is_const():
-            return self.clone() + (k * b.q_c)
+            return self.add_field(k * b.q_c)
 
         result = Expression(q_c=self.q_c + k * b.q_c)
 

@@ -235,3 +235,53 @@ def test_sha256_fallback_differential():
     solved = solve(compiled, assignment)
     digest = bytes(int(solved.get(w)) for w in outputs)
     assert digest == hashlib.sha256(message).digest()
+
+
+@pytest.mark.slow
+def test_blake2s_fallback_differential():
+    message = bytes([rng.randrange(256) for _ in range(5)])
+    inputs = [ops.FunctionInput(Witness(i + 1), 8) for i in range(len(message))]
+    outputs = [Witness(len(message) + 1 + i) for i in range(32)]
+    opcode = ops.OpcodeBlackBoxFuncCall(ops.BBBlake2s(inputs, outputs))
+    circuit = make_circuit([opcode], len(message), int(outputs[-1]))
+    compiled, _ = acvm_compile(circuit, PLONKCSat(3), ban(ops.BBBlake2s))
+
+    assignment = {i + 1: message[i] for i in range(len(message))}
+    solved = solve(compiled, assignment)
+    digest = bytes(int(solved.get(w)) for w in outputs)
+    assert digest == hashlib.blake2s(message).digest()
+
+
+@pytest.mark.slow
+def test_keccak256_fallback_differential():
+    from acvm_tpu.blackbox import keccak256 as host_keccak256
+
+    message = bytes([rng.randrange(256) for _ in range(4)])
+    inputs = [ops.FunctionInput(Witness(i + 1), 8) for i in range(len(message))]
+    outputs = [Witness(len(message) + 1 + i) for i in range(32)]
+    opcode = ops.OpcodeBlackBoxFuncCall(ops.BBKeccak256(inputs, outputs))
+    circuit = make_circuit([opcode], len(message), int(outputs[-1]))
+    compiled, _ = acvm_compile(circuit, PLONKCSat(3), ban(ops.BBKeccak256))
+
+    assignment = {i + 1: message[i] for i in range(len(message))}
+    solved = solve(compiled, assignment)
+    digest = bytes(int(solved.get(w)) for w in outputs)
+    assert digest == host_keccak256(message)
+
+
+@pytest.mark.slow
+def test_hash_to_field_fallback_differential():
+    from acvm_tpu.blackbox import hash_to_field_128_security
+
+    message = bytes([rng.randrange(256) for _ in range(3)])
+    inputs = [ops.FunctionInput(Witness(i + 1), 8) for i in range(len(message))]
+    output = Witness(len(message) + 1)
+    opcode = ops.OpcodeBlackBoxFuncCall(ops.BBHashToField128Security(inputs, output))
+    circuit = make_circuit([opcode], len(message), int(output))
+    compiled, _ = acvm_compile(
+        circuit, PLONKCSat(3), ban(ops.BBHashToField128Security)
+    )
+
+    assignment = {i + 1: message[i] for i in range(len(message))}
+    solved = solve(compiled, assignment)
+    assert solved.get(output) == hash_to_field_128_security(message)

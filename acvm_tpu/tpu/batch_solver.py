@@ -203,6 +203,28 @@ def run_to_le_radix(ctx, W, ok, buf):
     return W.at[:, buf["out_idx"]].set(out), ok
 
 
+def run_hashes(ctx, W, ok, buf):
+    """Batched 256-bit hash gadgets; one call per (kind, message length) group."""
+    from . import gadgets
+
+    digest_fn = {
+        "sha256": gadgets.sha256_digest,
+        "blake2s": gadgets.blake2s_digest,
+        "keccak256": gadgets.keccak256_digest,
+    }[buf["kind"]]
+    B = W.shape[0]
+    G, M = buf["src_w"].shape
+    vals = jnp.take(W, buf["src_w"].reshape(-1), axis=1).reshape(B, G, M, NUM_LIMBS)
+    limbs = jnp.take_along_axis(vals, buf["src_limb"][None, :, :, None], axis=-1)[
+        ..., 0
+    ]
+    message = (limbs >> buf["src_shift"][None]) & jnp.uint32(0xFF)  # (B, G, M)
+    digest = digest_fn(message.reshape(B * G, M)).reshape(B, G, 32)
+    out = jnp.zeros((B, G, 32, NUM_LIMBS), dtype=jnp.uint32)
+    out = out.at[..., 0].set(digest)
+    return W.at[:, buf["out_idx"]].set(out.reshape(B, G * 32, NUM_LIMBS)), ok
+
+
 def run_memory_init(ctx, W, ok, mem, buf):
     block = mem[buf["block_key"]]
     vals = jnp.take(W, buf["init_idx"], axis=1)  # (B, len, L)
@@ -388,6 +410,35 @@ class BatchSolver:
                 out_idx=np.asarray(out_idx, np.int32),
                 overflow_mask=np.stack(overflow),
             )
+        if level.hashes:
+            # Group by (kind, message byte length) — each group is one kernel.
+            groups: Dict[Tuple[str, int], list] = {}
+            for gate in level.hashes:
+                groups.setdefault((gate.kind, len(gate.byte_src)), []).append(gate)
+            hash_packs = []
+            for (kind, M), gates in groups.items():
+                G = len(gates)
+                src_w = np.zeros((G, M), np.int32)
+                src_limb = np.zeros((G, M), np.int32)
+                src_shift = np.zeros((G, M), np.uint32)
+                out_idx = np.zeros((G, 32), np.int32)
+                for gi, gate in enumerate(gates):
+                    for j, (w, limb, shift) in enumerate(gate.byte_src):
+                        src_w[gi, j] = w
+                        src_limb[gi, j] = limb
+                        src_shift[gi, j] = shift
+                    out_idx[gi] = gate.outputs
+                hash_packs.append(
+                    dict(
+                        kind=kind,
+                        src_w=src_w,
+                        src_limb=src_limb,
+                        src_shift=src_shift,
+                        out_idx=out_idx.reshape(-1),
+                    )
+                )
+            packed["kinds"].append("hashes")
+            packed["hashes"] = hash_packs
         if level.memory:
             packed["kinds"].append("memory")
             one = ExprPlan([], [], [], [], 1)
@@ -464,6 +515,9 @@ class BatchSolver:
                 W, ok = run_quotient(ctx, W, ok, packed[kind])
             elif kind == "to_le_radix":
                 W, ok = run_to_le_radix(ctx, W, ok, packed[kind])
+            elif kind == "hashes":
+                for hash_pack in packed["hashes"]:
+                    W, ok = run_hashes(ctx, W, ok, hash_pack)
             elif kind == "memory":
                 for st in packed["memory"]:
                     if st["kind"] == "init":

@@ -127,6 +127,20 @@ class ToLeRadixGate:
 
 
 @dataclass
+class HashGate:
+    """A device-batched 256-bit hash gadget (sha256 / blake2s / keccak256).
+
+    ``byte_src`` is the static message byte layout resolved from each input's
+    ``fetch_nearest_bytes(num_bits)`` truncation: per message byte, the source
+    witness, its limb index and the in-limb shift."""
+
+    kind: str  # "sha256" | "blake2s" | "keccak256"
+    byte_src: List[Tuple[int, int, int]]  # (witness, limb, shift)
+    outputs: List[int]
+    opcode_index: int
+
+
+@dataclass
 class MemoryInitStage:
     block_id: int
     init: List[int]
@@ -178,6 +192,7 @@ class Level:
     logic: List[LogicGate] = dc_field(default_factory=list)
     quotient: List[QuotientGate] = dc_field(default_factory=list)
     to_le_radix: List[ToLeRadixGate] = dc_field(default_factory=list)
+    hashes: List[HashGate] = dc_field(default_factory=list)
     memory: List[object] = dc_field(default_factory=list)  # init/op stages, ordered
     brillig: List[BrilligTraceStage] = dc_field(default_factory=list)
     host: List[HostStage] = dc_field(default_factory=list)
@@ -190,6 +205,7 @@ class Level:
             + len(self.logic)
             + len(self.quotient)
             + len(self.to_le_radix)
+            + len(self.hashes)
             + len(self.memory)
             + len(self.brillig)
             + sum(len(h.opcode_indices) for h in self.host)
@@ -393,8 +409,31 @@ class _Planner:
             )
             self._mark_known(int(call.output), level_idx)
             return
-        # Hashes, EC gadgets, recursive aggregation: host stage for now;
-        # device hash kernels hook in at the executor level.
+        if isinstance(call, (ops.BBSha256, ops.BBBlake2s, ops.BBKeccak256)):
+            outputs = [int(w) for w in call.get_outputs_vec()]
+            if len(outputs) == 32:
+                kind = {
+                    ops.BBSha256: "sha256",
+                    ops.BBBlake2s: "blake2s",
+                    ops.BBKeccak256: "keccak256",
+                }[type(call)]
+                byte_src = []
+                level_idx = 0
+                for fi in call.inputs:
+                    w = int(fi.witness)
+                    level_idx = max(level_idx, self._witness_level(w))
+                    num_bytes = (fi.num_bits + 7) // 8
+                    for j in range(num_bytes):
+                        byte_src.append((w, j // 2, 8 * (j % 2)))
+                level_idx += 1
+                self._level(level_idx).hashes.append(
+                    HashGate(kind, byte_src, outputs, opcode_index)
+                )
+                for w in outputs:
+                    self._mark_known(w, level_idx)
+                return
+        # Variable-length keccak, EC gadgets, recursive aggregation: host stage
+        # through the sequential solvers.
         self._plan_host_stage(opcode_index, call.get_inputs_vec(), call.get_outputs_vec())
 
     def _plan_host_stage(self, opcode_index: int, inputs, outputs):

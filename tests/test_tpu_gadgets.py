@@ -1,0 +1,106 @@
+"""Batched hash kernels vs host digests, both direct and end-to-end through
+the batch solver on hash-gadget circuits."""
+
+import hashlib
+import random
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from acvm_tpu.acir import Circuit, Witness, WitnessMap
+from acvm_tpu.acir import opcodes as ops
+from acvm_tpu.blackbox import keccak256 as host_keccak256
+from acvm_tpu.fields import FieldElement
+from acvm_tpu.tpu import BatchSolver, plan_circuit
+from acvm_tpu.tpu import gadgets
+
+rng = random.Random(8)
+
+
+@pytest.fixture(scope="module")
+def digests():
+    messages = [
+        b"",
+        b"abc",
+        bytes(range(55)),  # sha256 one-block boundary
+        bytes(range(56)),  # forces a second block
+        bytes(range(64)),
+        bytes(range(200)),  # multi-block for all three
+    ]
+    out = {}
+
+    for msg in messages:
+        arr = jnp.asarray(
+            np.frombuffer(msg, dtype=np.uint8).astype(np.uint32)[None].repeat(3, 0)
+        ).reshape(3, len(msg))
+        sha = jax.jit(gadgets.sha256_digest)(arr)
+        b2s = jax.jit(gadgets.blake2s_digest)(arr)
+        kec = jax.jit(gadgets.keccak256_digest)(arr)
+        out[msg] = tuple(
+            bytes(np.asarray(d)[0].astype(np.uint8)) for d in (sha, b2s, kec)
+        )
+    return out
+
+
+def test_sha256_kernel(digests):
+    for msg, (sha, _, _) in digests.items():
+        assert sha == hashlib.sha256(msg).digest(), msg
+
+
+def test_blake2s_kernel(digests):
+    for msg, (_, b2s, _) in digests.items():
+        assert b2s == hashlib.blake2s(msg).digest(), msg
+
+
+def test_keccak256_kernel(digests):
+    for msg, (_, _, kec) in digests.items():
+        assert kec == host_keccak256(msg), msg
+
+
+def test_hash_gadgets_in_batch_solver():
+    # Circuit: sha256 + keccak256 + blake2s over the same 6 input bytes.
+    n = 6
+    inputs = [ops.FunctionInput(Witness(i + 1), 8) for i in range(n)]
+    next_w = n + 1
+    opcodes = []
+    out_map = {}
+    for cls, name in (
+        (ops.BBSha256, "sha256"),
+        (ops.BBBlake2s, "blake2s"),
+        (ops.BBKeccak256, "keccak256"),
+    ):
+        outs = [Witness(next_w + i) for i in range(32)]
+        next_w += 32
+        opcodes.append(ops.OpcodeBlackBoxFuncCall(cls(list(inputs), outs)))
+        out_map[name] = outs
+
+    circuit = Circuit(
+        current_witness_index=next_w - 1,
+        opcodes=opcodes,
+        private_parameters={Witness(i + 1) for i in range(n)},
+    )
+    plan = plan_circuit(circuit)
+    # all three hash gadgets must be on the device path (no host stages)
+    assert all(not level.host for level in plan.levels)
+
+    solver = BatchSolver(plan)
+    batch = [
+        {i + 1: rng.randrange(256) for i in range(n)} for _ in range(3)
+    ]
+    result = solver.solve(batch)
+    assert result.ok.all()
+
+    for b, assignment in enumerate(batch):
+        msg = bytes(assignment[i + 1] for i in range(n))
+        expected = {
+            "sha256": hashlib.sha256(msg).digest(),
+            "blake2s": hashlib.blake2s(msg).digest(),
+            "keccak256": host_keccak256(msg),
+        }
+        for name, outs in out_map.items():
+            got = bytes(
+                result.witness_ints(int(w))[b] for w in outs
+            )
+            assert got == expected[name], (name, msg)

@@ -1,0 +1,56 @@
+"""Engine configuration.
+
+The reference's knobs are cargo features plus the (Language, width,
+is_opcode_supported) triple fed to ``compiler::compile`` (SURVEY.md section 5,
+"Config / flag system").  Here they are one explicit object covering field
+choice, compile target, batch sizing, mesh shape, and kernel/fallback policy.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+from .fields.params import FieldParams, BN254_FR, get_field
+
+
+@dataclass
+class EngineConfig:
+    # Field: "bn254" (default) or "bls12_381", mirroring the cargo features.
+    field: str = "bn254"
+
+    # Compile target: "plonk-csat" with `width`, or "r1cs" (passthrough).
+    language: str = "plonk-csat"
+    width: int = 3
+
+    # Batched solver sizing.
+    batch_size: int = 1024
+
+    # Mesh: axis sizes for (data,) — instance data parallelism.  None = single
+    # device.  Multi-host setups build the mesh over jax.distributed devices.
+    mesh_shape: Optional[Tuple[int, ...]] = None
+    mesh_axis_names: Tuple[str, ...] = ("data",)
+
+    # Kernel selection: allow disabling device gadget kernels (forcing the
+    # host-stage path) for debugging/conformance bisection.
+    device_hash_kernels: bool = True
+    device_brillig_trace: bool = True
+
+    # Fallback policy: expand unsupported black-box calls into gates at compile
+    # time (the reference gates hash fallbacks behind `unstable-fallbacks`).
+    enable_hash_fallbacks: bool = True
+
+    def field_params(self) -> FieldParams:
+        return get_field(self.field)
+
+    def language_object(self):
+        from .compiler import PLONKCSat, R1CS
+
+        if self.language == "r1cs":
+            return R1CS()
+        if self.language == "plonk-csat":
+            return PLONKCSat(self.width)
+        raise ValueError(f"unknown language {self.language!r}")
+
+
+DEFAULT_CONFIG = EngineConfig()

@@ -42,6 +42,13 @@ P = grumpkin.params.p  # base field (= BN254 Fr)
 N = grumpkin.params.n  # scalar field (= BN254 Fq)
 
 
+def _native():
+    """The C++ kernels (acvm_tpu/native) when a toolchain is available."""
+    from .. import native
+
+    return native if native.available() else None
+
+
 def _sqrt_mod_p(a: int) -> Optional[int]:
     a %= P
     if a == 0:
@@ -89,7 +96,11 @@ def fixed_base_scalar_mul(
             f"invalid grumpkin scalar: {scalar.to_bytes(32, 'big').hex()}"
         )
 
-    point = grumpkin.mul_g(scalar)
+    native = _native()
+    if native is not None:
+        point = native.grumpkin_mul(grumpkin.generator(), scalar)
+    else:
+        point = grumpkin.mul_g(scalar)
     if point is None:
         return FieldElement.zero(), FieldElement.zero()
     return FieldElement(point[0]), FieldElement(point[1])
@@ -149,10 +160,14 @@ def derive_generator(domain_separator: int, index: int) -> Tuple[int, int]:
 def pedersen_commit(
     inputs: List[FieldElement], domain_separator: int
 ) -> Tuple[FieldElement, FieldElement]:
-    acc: Point = None
-    for i, scalar in enumerate(inputs):
-        gen = derive_generator(domain_separator, i)
-        acc = grumpkin.add(acc, grumpkin.mul(scalar.value, gen))
+    generators = [derive_generator(domain_separator, i) for i in range(len(inputs))]
+    native = _native()
+    if native is not None:
+        acc = native.grumpkin_msm(generators, [s.value for s in inputs])
+    else:
+        acc: Point = None
+        for scalar, gen in zip(inputs, generators):
+            acc = grumpkin.add(acc, grumpkin.mul(scalar.value, gen))
     if acc is None:
         return FieldElement.zero(), FieldElement.zero()
     return FieldElement(acc[0]), FieldElement(acc[1])
@@ -191,7 +206,11 @@ def schnorr_verify(
     e = int.from_bytes(signature[32:], "big") % N
     if s == 0:
         return False
-    R = grumpkin.lincomb(s, grumpkin.generator(), e, pub)
+    native = _native()
+    if native is not None:
+        R = native.grumpkin_msm([grumpkin.generator(), pub], [s, e])
+    else:
+        R = grumpkin.lincomb(s, grumpkin.generator(), e, pub)
     if R is None:
         return False
     return _schnorr_challenge(R[0], pub, message) == e

@@ -225,6 +225,49 @@ def run_hashes(ctx, W, ok, buf):
     return W.at[:, buf["out_idx"]].set(out.reshape(B, G * 32, NUM_LIMBS)), ok
 
 
+def run_ec_fixed_base(ctx, W, ok, buf):
+    """Batched windowed fixed-base Grumpkin scalar multiplication."""
+    from . import ec
+
+    B = W.shape[0]
+    low = jnp.take(W, buf["low_idx"], axis=1)  # (B, G, L)
+    high = jnp.take(W, buf["high_idx"], axis=1)
+    G = low.shape[1]
+    # u128-limb validation (scalar_mul.rs:25-52): top limbs must be zero and
+    # the combined scalar must be below the grumpkin group order.
+    fits = jnp.all(low[..., 8:] == 0, axis=-1) & jnp.all(high[..., 8:] == 0, axis=-1)
+    scalar = jnp.concatenate([low[..., :8], high[..., :8]], axis=-1)
+    from ..fields.jnp_ops import _geq
+
+    in_range = ~_geq(scalar, buf["order_limbs"])
+    valid = fits & in_range  # (B, G)
+    ok = ok & jnp.all(valid, axis=1)
+
+    flat = scalar.reshape(B * G, NUM_LIMBS)
+    point = ec.fixed_base_mul(ctx, buf["table"], flat)
+    ax, ay = ec.pt_to_affine(ctx, point)
+    ax = jnp.where(valid.reshape(B * G, 1), ax, 0).reshape(B, G, NUM_LIMBS)
+    ay = jnp.where(valid.reshape(B * G, 1), ay, 0).reshape(B, G, NUM_LIMBS)
+    W = W.at[:, buf["out_x"]].set(ax)
+    W = W.at[:, buf["out_y"]].set(ay)
+    return W, ok
+
+
+def run_ec_pedersen(ctx, W, ok, gate_buf):
+    """One Pedersen commitment gate: windowed MSM over fixed generators."""
+    from . import ec
+
+    scalars = jnp.take(W, gate_buf["input_idx"], axis=1)  # (B, n, L)
+    acc = ec.pt_infinity(ctx, (W.shape[0],))
+    for i in range(scalars.shape[1]):
+        term = ec.fixed_base_mul(ctx, gate_buf["tables"][i], scalars[:, i])
+        acc = ec.pt_add(ctx, acc, term)
+    ax, ay = ec.pt_to_affine(ctx, acc)
+    W = W.at[:, gate_buf["out_x"]].set(ax)
+    W = W.at[:, gate_buf["out_y"]].set(ay)
+    return W, ok
+
+
 def run_memory_init(ctx, W, ok, mem, buf):
     block = mem[buf["block_key"]]
     vals = jnp.take(W, buf["init_idx"], axis=1)  # (B, len, L)
@@ -439,6 +482,46 @@ class BatchSolver:
                 )
             packed["kinds"].append("hashes")
             packed["hashes"] = hash_packs
+        if level.ec_fixed_base:
+            from . import ec
+            from ..blackbox.ec import grumpkin as _gk
+
+            gates = level.ec_fixed_base
+            packed["kinds"].append("ec_fixed_base")
+            packed["ec_fixed_base"] = dict(
+                low_idx=np.asarray([g.low for g in gates], np.int32),
+                high_idx=np.asarray([g.high for g in gates], np.int32),
+                out_x=np.asarray([g.out_x for g in gates], np.int32),
+                out_y=np.asarray([g.out_y for g in gates], np.int32),
+                order_limbs=np.asarray(
+                    int_to_limbs(_gk.params.n), dtype=np.uint32
+                ),
+                table=np.asarray(ec._window_table_np(_gk.generator())),
+            )
+        if level.ec_pedersen:
+            from . import ec
+            from ..blackbox.grumpkin import derive_generator
+
+            packed["kinds"].append("ec_pedersen")
+            pedersen_packs = []
+            for gate in level.ec_pedersen:
+                tables = [
+                    np.asarray(
+                        ec._window_table_np(
+                            derive_generator(gate.domain_separator, i)
+                        )
+                    )
+                    for i in range(len(gate.inputs))
+                ]
+                pedersen_packs.append(
+                    dict(
+                        input_idx=np.asarray(gate.inputs, np.int32),
+                        tables=tables,
+                        out_x=gate.out_x,
+                        out_y=gate.out_y,
+                    )
+                )
+            packed["ec_pedersen"] = pedersen_packs
         if level.memory:
             packed["kinds"].append("memory")
             one = ExprPlan([], [], [], [], 1)
@@ -518,6 +601,11 @@ class BatchSolver:
             elif kind == "hashes":
                 for hash_pack in packed["hashes"]:
                     W, ok = run_hashes(ctx, W, ok, hash_pack)
+            elif kind == "ec_fixed_base":
+                W, ok = run_ec_fixed_base(ctx, W, ok, packed[kind])
+            elif kind == "ec_pedersen":
+                for gate_buf in packed["ec_pedersen"]:
+                    W, ok = run_ec_pedersen(ctx, W, ok, gate_buf)
             elif kind == "memory":
                 for st in packed["memory"]:
                     if st["kind"] == "init":

@@ -141,6 +141,28 @@ class HashGate:
 
 
 @dataclass
+class EcFixedBaseGate:
+    """Fixed-base Grumpkin scalar mul: (low + high*2^128) * G."""
+
+    low: int
+    high: int
+    out_x: int
+    out_y: int
+    opcode_index: int
+
+
+@dataclass
+class EcPedersenGate:
+    """Pedersen commitment: sum_i W[input_i] * G_i(domain)."""
+
+    inputs: List[int]
+    domain_separator: int
+    out_x: int
+    out_y: int
+    opcode_index: int
+
+
+@dataclass
 class MemoryInitStage:
     block_id: int
     init: List[int]
@@ -193,6 +215,8 @@ class Level:
     quotient: List[QuotientGate] = dc_field(default_factory=list)
     to_le_radix: List[ToLeRadixGate] = dc_field(default_factory=list)
     hashes: List[HashGate] = dc_field(default_factory=list)
+    ec_fixed_base: List[EcFixedBaseGate] = dc_field(default_factory=list)
+    ec_pedersen: List[EcPedersenGate] = dc_field(default_factory=list)
     memory: List[object] = dc_field(default_factory=list)  # init/op stages, ordered
     brillig: List[BrilligTraceStage] = dc_field(default_factory=list)
     host: List[HostStage] = dc_field(default_factory=list)
@@ -206,6 +230,8 @@ class Level:
             + len(self.quotient)
             + len(self.to_le_radix)
             + len(self.hashes)
+            + len(self.ec_fixed_base)
+            + len(self.ec_pedersen)
             + len(self.memory)
             + len(self.brillig)
             + sum(len(h.opcode_indices) for h in self.host)
@@ -432,8 +458,32 @@ class _Planner:
                 for w in outputs:
                     self._mark_known(w, level_idx)
                 return
-        # Variable-length keccak, EC gadgets, recursive aggregation: host stage
-        # through the sequential solvers.
+        if isinstance(call, ops.BBFixedBaseScalarMul):
+            low, high = int(call.low.witness), int(call.high.witness)
+            level_idx = max(self._witness_level(low), self._witness_level(high)) + 1
+            out_x, out_y = int(call.outputs[0]), int(call.outputs[1])
+            self._level(level_idx).ec_fixed_base.append(
+                EcFixedBaseGate(low, high, out_x, out_y, opcode_index)
+            )
+            self._mark_known(out_x, level_idx)
+            self._mark_known(out_y, level_idx)
+            return
+        if isinstance(call, ops.BBPedersen):
+            inputs = [int(fi.witness) for fi in call.inputs]
+            level_idx = max(
+                (self._witness_level(w) for w in inputs), default=0
+            ) + 1
+            out_x, out_y = int(call.outputs[0]), int(call.outputs[1])
+            self._level(level_idx).ec_pedersen.append(
+                EcPedersenGate(
+                    inputs, call.domain_separator, out_x, out_y, opcode_index
+                )
+            )
+            self._mark_known(out_x, level_idx)
+            self._mark_known(out_y, level_idx)
+            return
+        # Variable-length keccak, signature verification gadgets, recursive
+        # aggregation: host stage through the sequential solvers.
         self._plan_host_stage(opcode_index, call.get_inputs_vec(), call.get_outputs_vec())
 
     def _plan_host_stage(self, opcode_index: int, inputs, outputs):

@@ -1,0 +1,105 @@
+"""Batched device EC kernels vs golden vectors and the host implementation."""
+
+import random
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from acvm_tpu.acir.serialization import deserialize_circuit
+from acvm_tpu.blackbox.ec import grumpkin
+from acvm_tpu.fields import BN254_FR
+from acvm_tpu.fields.jnp_ops import LimbContext
+from acvm_tpu.fields.limbs import ints_to_limbs
+from acvm_tpu.tpu import BatchSolver, plan_circuit
+from acvm_tpu.tpu import ec
+
+import golden_vectors as gv
+
+rng = random.Random(17)
+CTX = LimbContext(BN254_FR)
+G = grumpkin.generator()
+
+
+def test_fixed_base_mul_kernel_matches_host():
+    scalars = [1, 2, 5, rng.randrange(grumpkin.params.n), 1 + 2 * (1 << 128)]
+    arr = jnp.asarray(ints_to_limbs(scalars))
+    table = ec.window_table(G)
+
+    @jax.jit
+    def run(s):
+        return ec.pt_to_affine(CTX, ec.fixed_base_mul(CTX, table, s))
+
+    ax, ay = run(arr)
+    from acvm_tpu.fields.limbs import limbs_to_ints
+
+    xs = limbs_to_ints(np.asarray(ax))
+    ys = limbs_to_ints(np.asarray(ay))
+    for s, x, y in zip(scalars, xs, ys):
+        expected = grumpkin.mul(s, G)
+        assert (x, y) == expected, s
+
+
+def test_scalar_mul_kernel_matches_host():
+    base = grumpkin.mul(987654321, G)
+    scalars = [3, rng.randrange(grumpkin.params.n)]
+    arr = jnp.asarray(ints_to_limbs(scalars))
+    base_pt = (
+        jnp.asarray(ints_to_limbs([(base[0] * BN254_FR.r) % BN254_FR.modulus] * 2)),
+        jnp.asarray(ints_to_limbs([(base[1] * BN254_FR.r) % BN254_FR.modulus] * 2)),
+        jnp.asarray(ints_to_limbs([BN254_FR.r] * 2)),
+    )
+
+    @jax.jit
+    def run(s):
+        return ec.pt_to_affine(CTX, ec.scalar_mul(CTX, base_pt, s))
+
+    ax, ay = run(arr)
+    from acvm_tpu.fields.limbs import limbs_to_ints
+
+    xs = limbs_to_ints(np.asarray(ax))
+    ys = limbs_to_ints(np.asarray(ay))
+    for s, x, y in zip(scalars, xs, ys):
+        assert (x, y) == grumpkin.mul(s, base), s
+
+
+def test_fixed_base_circuit_on_device():
+    circuit = deserialize_circuit(gv.FIXED_BASE_SCALAR_MUL_CIRCUIT)
+    plan = plan_circuit(circuit)
+    assert all(not level.host for level in plan.levels)
+    solver = BatchSolver(plan)
+    result = solver.solve([{1: 1, 2: 0}, {1: 1, 2: 2}])
+    assert result.ok.all()
+    x_hex = [f"{v:064x}" for v in result.witness_ints(3)]
+    y_hex = [f"{v:064x}" for v in result.witness_ints(4)]
+    assert (x_hex[0], y_hex[0]) == gv.FIXED_BASE_1_0
+    assert (x_hex[1], y_hex[1]) == gv.FIXED_BASE_1_2
+
+
+def test_fixed_base_circuit_flags_invalid_scalar():
+    circuit = deserialize_circuit(gv.FIXED_BASE_SCALAR_MUL_CIRCUIT)
+    solver = BatchSolver(plan_circuit(circuit))
+    result = solver.solve([{1: 1, 2: 0}, {1: 1 << 130, 2: 0}])
+    assert result.ok.tolist() == [True, False]
+
+
+def test_pedersen_circuit_on_device():
+    circuit = deserialize_circuit(gv.PEDERSEN_CIRCUIT)
+    plan = plan_circuit(circuit)
+    assert all(not level.host for level in plan.levels)
+    solver = BatchSolver(plan)
+    result = solver.solve([{1: 1}, {1: 7}])
+    assert result.ok.all()
+    # instance 0: pedersen([1], 0) pins generator 0 (acvm_js fixture)
+    assert (
+        f"{result.witness_ints(2)[0]:064x}"
+        == "09489945604c9686e698cb69d7bd6fc0cdb02e9faae3e1a433f1c342c1a5ecc4"
+    )
+    # instance 1 matches the host backend
+    from acvm_tpu.blackbox import GrumpkinSolver
+    from acvm_tpu.fields import FieldElement
+
+    x, y = GrumpkinSolver().pedersen([FieldElement(7)], 0)
+    assert result.witness_ints(2)[1] == int(x)
+    assert result.witness_ints(3)[1] == int(y)

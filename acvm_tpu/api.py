@@ -57,6 +57,23 @@ def create_black_box_solver() -> BlackBoxFunctionSolver:
     return GrumpkinSolver()
 
 
+def build_info() -> dict:
+    """Version / environment report (acvm_js/src/build_info.rs analogue)."""
+    import jax
+
+    from . import __version__
+    from . import native
+
+    return {
+        "version": __version__,
+        "reference": "noir-lang/acvm v0.27.0",
+        "jax": jax.__version__,
+        "backend": jax.default_backend(),
+        "devices": len(jax.devices()),
+        "native_kernels": native.available(),
+    }
+
+
 def _to_field(value: ForeignCallValue) -> FieldElement:
     if isinstance(value, FieldElement):
         return value

@@ -742,13 +742,28 @@ class BatchSolver:
             state = shard_batch(state, self.mesh)
         return state
 
-    def solve(self, input_values: Sequence[Dict[int, int]]):
-        W, ok, mem = self.initial_state(input_values)
+    def solve(self, input_values: Sequence[Dict[int, int]], stats=None):
+        from ..utils.profiling import Timer
+
+        if stats is not None:
+            stats.batch = len(input_values)
+            stats.total_ops = self.plan.total_ops()
+        with Timer() as t_pack:
+            W, ok, mem = self.initial_state(input_values)
+        if stats is not None:
+            stats.pack_seconds = t_pack.elapsed
         for i, segment in enumerate(self.segments):
             if segment.levels:
-                W, ok, mem = self._segment_fn(i)(W, ok, mem)
+                with Timer() as t_seg:
+                    W, ok, mem = self._segment_fn(i)(W, ok, mem)
+                    W.block_until_ready()
+                if stats is not None:
+                    stats.segment_seconds.append(t_seg.elapsed)
             if segment.host_stages:
-                W, ok = self._run_host_stages(W, ok, segment.host_stages)
+                with Timer() as t_host:
+                    W, ok = self._run_host_stages(W, ok, segment.host_stages)
+                if stats is not None:
+                    stats.host_stage_seconds.append(t_host.elapsed)
         return BatchResult(self, np.asarray(W), np.asarray(ok))
 
 

@@ -354,12 +354,16 @@ class BatchSolver:
         backend: Optional[BlackBoxFunctionSolver] = None,
         foreign_call_handler: Optional[Callable] = None,
         mesh=None,
+        max_levels_per_segment: int = 64,
     ):
         self.plan = plan
         self.ctx = LimbContext(plan.params)
         self.backend = backend or GrumpkinSolver()
         self.foreign_call_handler = foreign_call_handler
         self.mesh = mesh  # optional jax.sharding.Mesh: shard the batch axis
+        # Deep circuits produce many levels; bounding levels-per-jit keeps each
+        # compiled graph a manageable size (several jits instead of one huge one).
+        self.max_levels_per_segment = max_levels_per_segment
         self.segments = self._build_segments()
         self._segment_fns: Dict[int, Callable] = {}
 
@@ -522,6 +526,11 @@ class BatchSolver:
                     )
                 )
             packed["ec_pedersen"] = pedersen_packs
+        if level.zero_out:
+            packed["kinds"].append("zero_out")
+            packed["zero_out"] = dict(
+                idx=np.asarray(level.zero_out, np.int32)
+            )
         if level.memory:
             packed["kinds"].append("memory")
             one = ExprPlan([], [], [], [], 1)
@@ -576,6 +585,9 @@ class BatchSolver:
                 current.host_stages = list(level.host)
                 segments.append(current)
                 current = _Segment(levels=[], host_stages=[])
+            elif len(current.levels) >= self.max_levels_per_segment:
+                segments.append(current)
+                current = _Segment(levels=[], host_stages=[])
         if current.levels or current.host_stages:
             segments.append(current)
         return segments
@@ -606,6 +618,9 @@ class BatchSolver:
             elif kind == "ec_pedersen":
                 for gate_buf in packed["ec_pedersen"]:
                     W, ok = run_ec_pedersen(ctx, W, ok, gate_buf)
+            elif kind == "zero_out":
+                idx = packed["zero_out"]["idx"]
+                W = W.at[:, idx].set(0)
             elif kind == "memory":
                 for st in packed["memory"]:
                     if st["kind"] == "init":

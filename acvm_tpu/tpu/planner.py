@@ -217,6 +217,9 @@ class Level:
     hashes: List[HashGate] = dc_field(default_factory=list)
     ec_fixed_base: List[EcFixedBaseGate] = dc_field(default_factory=list)
     ec_pedersen: List[EcPedersenGate] = dc_field(default_factory=list)
+    # Witnesses force-set to zero (RecursiveAggregation outputs —
+    # blackbox/mod.rs:154-161).
+    zero_out: List[int] = dc_field(default_factory=list)
     memory: List[object] = dc_field(default_factory=list)  # init/op stages, ordered
     brillig: List[BrilligTraceStage] = dc_field(default_factory=list)
     host: List[HostStage] = dc_field(default_factory=list)
@@ -232,6 +235,7 @@ class Level:
             + len(self.hashes)
             + len(self.ec_fixed_base)
             + len(self.ec_pedersen)
+            + (1 if self.zero_out else 0)
             + len(self.memory)
             + len(self.brillig)
             + sum(len(h.opcode_indices) for h in self.host)
@@ -482,8 +486,20 @@ class _Planner:
             self._mark_known(out_x, level_idx)
             self._mark_known(out_y, level_idx)
             return
-        # Variable-length keccak, signature verification gadgets, recursive
-        # aggregation: host stage through the sequential solvers.
+        if isinstance(call, ops.BBRecursiveAggregation):
+            # Outputs are zeroed; the real value comes from the proving backend
+            # (blackbox/mod.rs:154-161).
+            inputs = call.get_inputs_vec()
+            level_idx = max(
+                (self._witness_level(int(fi.witness)) for fi in inputs), default=0
+            ) + 1
+            outputs = [int(w) for w in call.output_aggregation_object]
+            self._level(level_idx).zero_out.extend(outputs)
+            for w in outputs:
+                self._mark_known(w, level_idx)
+            return
+        # Variable-length keccak and signature verification gadgets: host stage
+        # through the sequential solvers.
         self._plan_host_stage(opcode_index, call.get_inputs_vec(), call.get_outputs_vec())
 
     def _plan_host_stage(self, opcode_index: int, inputs, outputs):

@@ -207,11 +207,6 @@ def run_hashes(ctx, W, ok, buf):
     """Batched 256-bit hash gadgets; one call per (kind, message length) group."""
     from . import gadgets
 
-    digest_fn = {
-        "sha256": gadgets.sha256_digest,
-        "blake2s": gadgets.blake2s_digest,
-        "keccak256": gadgets.keccak256_digest,
-    }[buf["kind"]]
     B = W.shape[0]
     G, M = buf["src_w"].shape
     vals = jnp.take(W, buf["src_w"].reshape(-1), axis=1).reshape(B, G, M, NUM_LIMBS)
@@ -219,7 +214,24 @@ def run_hashes(ctx, W, ok, buf):
         ..., 0
     ]
     message = (limbs >> buf["src_shift"][None]) & jnp.uint32(0xFF)  # (B, G, M)
-    digest = digest_fn(message.reshape(B * G, M)).reshape(B, G, 32)
+    if buf["kind"] == "keccak_var":
+        size_vals = jnp.take(W, buf["size_w"], axis=1)  # (B, G, L)
+        length = size_vals[..., 0] | (size_vals[..., 1] << LIMB_BITS)
+        # Reference errors when the size exceeds the message or overflows
+        # (blackbox/hash.rs:70-82); here the instance flag flips.
+        bad = jnp.any(size_vals[..., 2:] != 0, axis=-1) | (length > M)
+        ok = ok & jnp.all(~bad, axis=1)
+        length = jnp.minimum(length, M)
+        digest = gadgets.keccak256_var_digest(
+            message.reshape(B * G, M), length.reshape(B * G)
+        ).reshape(B, G, 32)
+    else:
+        digest_fn = {
+            "sha256": gadgets.sha256_digest,
+            "blake2s": gadgets.blake2s_digest,
+            "keccak256": gadgets.keccak256_digest,
+        }[buf["kind"]]
+        digest = digest_fn(message.reshape(B * G, M)).reshape(B, G, 32)
     out = jnp.zeros((B, G, 32, NUM_LIMBS), dtype=jnp.uint32)
     out = out.at[..., 0].set(digest)
     return W.at[:, buf["out_idx"]].set(out.reshape(B, G * 32, NUM_LIMBS)), ok
@@ -266,6 +278,33 @@ def run_ec_pedersen(ctx, W, ok, gate_buf):
     W = W.at[:, gate_buf["out_x"]].set(ax)
     W = W.at[:, gate_buf["out_y"]].set(ay)
     return W, ok
+
+
+def run_schnorr(ctx, W, ok, buf):
+    """Grouped Schnorr verifications with identical message length."""
+    from . import ec
+
+    B = W.shape[0]
+    G = buf["pub_x"].shape[0]
+    pub_x = jnp.take(W, buf["pub_x"], axis=1).reshape(B * G, NUM_LIMBS)
+    pub_y = jnp.take(W, buf["pub_y"], axis=1).reshape(B * G, NUM_LIMBS)
+    # to_u8_vec semantics: last BE byte of each witness == low byte of limb 0.
+    sig = (
+        jnp.take(W, buf["sig_idx"].reshape(-1), axis=1)[..., 0] & jnp.uint32(0xFF)
+    ).reshape(B * G, 64)
+    if buf["msg_idx"].size:
+        msg = (
+            jnp.take(W, buf["msg_idx"].reshape(-1), axis=1)[..., 0]
+            & jnp.uint32(0xFF)
+        ).reshape(B * G, -1)
+    else:
+        msg = jnp.zeros((B * G, 0), dtype=jnp.uint32)
+    valid = ec.schnorr_verify_batched(
+        ctx, pub_x, pub_y, sig, msg, buf["pedersen_tables"], buf["gen_table"]
+    ).reshape(B, G)
+    out = jnp.zeros((B, G, NUM_LIMBS), dtype=jnp.uint32)
+    out = out.at[..., 0].set(valid.astype(jnp.uint32))
+    return W.at[:, buf["out_idx"]].set(out), ok
 
 
 def run_memory_init(ctx, W, ok, mem, buf):
@@ -469,12 +508,15 @@ class BatchSolver:
                 src_limb = np.zeros((G, M), np.int32)
                 src_shift = np.zeros((G, M), np.uint32)
                 out_idx = np.zeros((G, 32), np.int32)
+                size_w = np.zeros((G,), np.int32)
                 for gi, gate in enumerate(gates):
                     for j, (w, limb, shift) in enumerate(gate.byte_src):
                         src_w[gi, j] = w
                         src_limb[gi, j] = limb
                         src_shift[gi, j] = shift
                     out_idx[gi] = gate.outputs
+                    if gate.size_witness is not None:
+                        size_w[gi] = gate.size_witness
                 hash_packs.append(
                     dict(
                         kind=kind,
@@ -482,6 +524,7 @@ class BatchSolver:
                         src_limb=src_limb,
                         src_shift=src_shift,
                         out_idx=out_idx.reshape(-1),
+                        size_w=size_w,
                     )
                 )
             packed["kinds"].append("hashes")
@@ -526,6 +569,36 @@ class BatchSolver:
                     )
                 )
             packed["ec_pedersen"] = pedersen_packs
+        if level.schnorr:
+            from . import ec
+            from ..blackbox.ec import grumpkin as _gk
+            from ..blackbox.grumpkin import derive_generator
+
+            groups: Dict[int, list] = {}
+            for gate in level.schnorr:
+                groups.setdefault(len(gate.message), []).append(gate)
+            packed["kinds"].append("schnorr")
+            schnorr_packs = []
+            for msg_len, gates in groups.items():
+                schnorr_packs.append(
+                    dict(
+                        pub_x=np.asarray([g.pub_x for g in gates], np.int32),
+                        pub_y=np.asarray([g.pub_y for g in gates], np.int32),
+                        sig_idx=np.asarray(
+                            [g.signature for g in gates], np.int32
+                        ),
+                        msg_idx=np.asarray([g.message for g in gates], np.int32),
+                        out_idx=np.asarray([g.output for g in gates], np.int32),
+                        pedersen_tables=[
+                            np.asarray(ec._window_table_np(derive_generator(0, i)))
+                            for i in range(3)
+                        ],
+                        gen_table=np.asarray(
+                            ec._window_table_np(_gk.generator())
+                        ),
+                    )
+                )
+            packed["schnorr"] = schnorr_packs
         if level.zero_out:
             packed["kinds"].append("zero_out")
             packed["zero_out"] = dict(
@@ -618,6 +691,9 @@ class BatchSolver:
             elif kind == "ec_pedersen":
                 for gate_buf in packed["ec_pedersen"]:
                     W, ok = run_ec_pedersen(ctx, W, ok, gate_buf)
+            elif kind == "schnorr":
+                for schnorr_buf in packed["schnorr"]:
+                    W, ok = run_schnorr(ctx, W, ok, schnorr_buf)
             elif kind == "zero_out":
                 idx = packed["zero_out"]["idx"]
                 W = W.at[:, idx].set(0)

@@ -213,3 +213,152 @@ def scalar_mul(ctx: LimbContext, point, scalar_limbs: jnp.ndarray):
 
     acc, _ = jax.lax.scan(body, acc, bit_indices)
     return acc
+
+
+# ---------------------------------------------------------------------------
+# Sharded MSM: generator/window partial sums over a mesh axis
+# ---------------------------------------------------------------------------
+
+
+def pedersen_msm_sharded(ctx, tables, scalars, mesh, axis_name: str = "model"):
+    """Multi-scalar multiplication with the generator axis sharded over a mesh
+    axis: each device computes the windowed partial sum for its slice of
+    generators, partial points are all-gathered over ICI, and the (tiny)
+    point reduction runs replicated.
+
+    This is the "EC window/bucket sums reduced via collectives" pattern from
+    BASELINE.json config 4: jacobian points cannot be psum'd (point addition
+    is not componentwise), so the collective is an all_gather of 3x16-limb
+    partials followed by a log-depth local reduction.
+
+    tables:  (n_gen, NUM_WINDOWS, 2^W, 3, NUM_LIMBS) stacked window tables.
+    scalars: (B, n_gen, NUM_LIMBS) standard-form scalars.
+    Returns affine (x, y) standard-form arrays of shape (B, NUM_LIMBS).
+    """
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    n_gen = tables.shape[0]
+    axis_size = mesh.shape[axis_name]
+    assert n_gen % axis_size == 0, (n_gen, axis_size)
+
+    def local_msm(tables_local, scalars_local):
+        # tables_local: (n_gen/m, ...), scalars_local: (B, n_gen/m, L)
+        acc = pt_infinity(ctx, scalars_local.shape[:1])
+        for i in range(tables_local.shape[0]):
+            term = fixed_base_mul(ctx, tables_local[i], scalars_local[:, i])
+            acc = pt_add(ctx, acc, term)
+        # Gather everyone's partial jacobian point: (m, B, 3, L) stacked.
+        stacked = jnp.stack(acc, axis=-2)  # (B, 3, L)
+        gathered = jax.lax.all_gather(stacked, axis_name)  # (m, B, 3, L)
+        total = pt_infinity(ctx, scalars_local.shape[:1])
+        for d in range(axis_size):
+            part = (
+                gathered[d, :, 0, :],
+                gathered[d, :, 1, :],
+                gathered[d, :, 2, :],
+            )
+            total = pt_add(ctx, total, part)
+        return jnp.stack(total, axis=-2)  # (B, 3, L), replicated
+
+    result = shard_map(
+        local_msm,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(None, axis_name)),
+        out_specs=P(None),
+        check_vma=False,
+    )(tables, scalars)
+
+    point = (result[:, 0, :], result[:, 1, :], result[:, 2, :])
+    return pt_to_affine(ctx, point)
+
+
+# ---------------------------------------------------------------------------
+# Schnorr verification pipeline (device)
+# ---------------------------------------------------------------------------
+
+
+def bytes_be_to_limbs(bytes_be: jnp.ndarray) -> jnp.ndarray:
+    """(B, 32) big-endian bytes -> (B, NUM_LIMBS) little-endian 16-bit limbs."""
+    lo = bytes_be[:, 31::-2]  # bytes 31,29,...,1 -> limbs 0..15 low half
+    hi = bytes_be[:, 30::-2]
+    return (lo | (hi << 8)).astype(jnp.uint32)
+
+
+def limbs_to_bytes_be(limbs: jnp.ndarray) -> jnp.ndarray:
+    """(B, NUM_LIMBS) limbs -> (B, 32) big-endian bytes."""
+    hi = (limbs >> 8) & 0xFF  # high byte of each limb
+    lo = limbs & 0xFF
+    # limb 15 -> bytes 0,1 ... limb 0 -> bytes 30,31
+    interleaved = jnp.stack([hi[:, ::-1], lo[:, ::-1]], axis=-1)
+    return interleaved.reshape(limbs.shape[0], 32)
+
+
+def mod_order(limbs: jnp.ndarray, order: int) -> jnp.ndarray:
+    """Reduce a full 256-bit value modulo the grumpkin group order via
+    conditional subtraction (2^256 < 8*order, so shifts 2,1,0 suffice)."""
+    from . import intops
+
+    r = limbs
+    for k in (2, 1, 0):
+        nk = jnp.asarray(int_to_limbs((order << k) % (1 << 256)), dtype=jnp.uint32)
+        if (order << k) >> 256:
+            # shifted modulus overflows 256 bits; r < 2^256 is always smaller
+            continue
+        ge = intops.int_geq(r, nk)
+        r = jnp.where(ge[..., None], intops.int_sub(r, nk), r)
+    return r
+
+
+def schnorr_verify_batched(
+    ctx: LimbContext,
+    pub_x: jnp.ndarray,  # (B, L) standard form
+    pub_y: jnp.ndarray,
+    sig_bytes: jnp.ndarray,  # (B, 64) uint32 bytes, s || e big-endian
+    msg_bytes: jnp.ndarray,  # (B, M) uint32 bytes
+    pedersen_tables,  # 3 window tables for generators 0..2 (domain 0)
+    generator_table,  # window table for the group generator
+) -> jnp.ndarray:
+    """Batched analogue of blackbox/grumpkin.py::schnorr_verify -> (B,) bool."""
+    from .gadgets import blake2s_digest
+    from . import intops
+
+    n_order = grumpkin.params.n
+
+    s = mod_order(bytes_be_to_limbs(sig_bytes[:, :32]), n_order)
+    e = mod_order(bytes_be_to_limbs(sig_bytes[:, 32:]), n_order)
+
+    # public key on curve: y^2 == x^3 - 17
+    xm = ctx.to_mont(pub_x)
+    ym = ctx.to_mont(pub_y)
+    y2 = ctx.mont_mul(ym, ym)
+    x3 = ctx.mont_mul(ctx.mont_mul(xm, xm), xm)
+    seventeen = jnp.asarray(
+        int_to_limbs((17 * ctx.params.r) % ctx.params.modulus), dtype=jnp.uint32
+    )
+    on_curve = ctx.eq(y2, ctx.sub(x3, seventeen))
+
+    s_nonzero = ~intops.is_zero(s)
+
+    # R = s*G + e*P
+    sG = fixed_base_mul(ctx, generator_table, s)
+    P = (xm, ym, jnp.broadcast_to(jnp.asarray(int_to_limbs(ctx.params.r), jnp.uint32), xm.shape).astype(jnp.uint32))
+    eP = scalar_mul(ctx, P, e)
+    R = pt_add(ctx, sG, eP)
+    r_not_inf = ~pt_is_inf(R)
+    rx, _ = pt_to_affine(ctx, R)
+
+    # challenge: blake2s(pedersen_compress(Rx, Px, Py).x_be || msg) mod n
+    scalars = jnp.stack([rx, pub_x, pub_y], axis=1)  # (B, 3, L)
+    acc = pt_infinity(ctx, (rx.shape[0],))
+    for i in range(3):
+        acc = pt_add(ctx, acc, fixed_base_mul(ctx, pedersen_tables[i], scalars[:, i]))
+    cx, _ = pt_to_affine(ctx, acc)
+
+    digest = blake2s_digest(
+        jnp.concatenate([limbs_to_bytes_be(cx), msg_bytes.astype(jnp.uint32)], axis=1)
+    )
+    challenge = mod_order(bytes_be_to_limbs(digest), n_order)
+
+    return on_curve & s_nonzero & r_not_inf & ctx.eq(challenge, e)

@@ -317,3 +317,73 @@ def keccak256_digest(message: jnp.ndarray) -> jnp.ndarray:
                 [w & 0xFF, (w >> 8) & 0xFF, (w >> 16) & 0xFF, (w >> 24) & 0xFF]
             )
     return jnp.stack(out, axis=1)
+
+
+def keccak256_var_digest(message: jnp.ndarray, length: jnp.ndarray):
+    """Keccak-256 over per-instance message prefixes.
+
+    message: (B, M) uint32 bytes (the maximum-length message);
+    length:  (B,) uint32 — how many leading bytes each instance hashes
+             (callers validate length <= M).
+    Returns (B, 32) uint32 digest bytes.
+
+    Dynamic padding is branchless: bytes at index >= length are zeroed, the
+    0x01 domain byte XORs in at index == length, the 0x80 terminator at the
+    end of each instance's final rate block, and the permutation for block k
+    only commits where k < num_blocks(length).
+    """
+    B, M = message.shape
+    rate = 136
+    max_blocks = M // rate + 1
+    total = max_blocks * rate
+
+    padded = jnp.zeros((B, total), dtype=U32)
+    if M:
+        idx = jnp.arange(M, dtype=jnp.uint32)[None]
+        keep = idx < length[:, None]
+        padded = padded.at[:, :M].set(jnp.where(keep, message.astype(U32), 0))
+
+    positions = jnp.arange(total, dtype=jnp.uint32)[None]
+    padded = padded ^ jnp.where(positions == length[:, None], jnp.uint32(0x01), 0)
+    num_blocks = length // rate + 1  # (B,)
+    last_byte = num_blocks * rate - 1
+    padded = padded ^ jnp.where(positions == last_byte[:, None], jnp.uint32(0x80), 0)
+
+    zero = jnp.zeros((B,), dtype=U32)
+    state = [(zero, zero) for _ in range(25)]
+    for blk in range(max_blocks):
+        active = (blk < num_blocks).astype(U32)  # (B,)
+        block = padded[:, blk * rate : (blk + 1) * rate]
+        absorbed = list(state)
+        for lane in range(rate // 8):
+            lane_bytes = block[:, lane * 8 : lane * 8 + 8]
+            lo = (
+                lane_bytes[:, 0]
+                | (lane_bytes[:, 1] << 8)
+                | (lane_bytes[:, 2] << 16)
+                | (lane_bytes[:, 3] << 24)
+            )
+            hi = (
+                lane_bytes[:, 4]
+                | (lane_bytes[:, 5] << 8)
+                | (lane_bytes[:, 6] << 16)
+                | (lane_bytes[:, 7] << 24)
+            )
+            absorbed[lane] = _xor64(absorbed[lane], (lo * active, hi * active))
+        permuted = keccak_f1600_batched(absorbed)
+        state = [
+            (
+                jnp.where(active == 1, p[0], s[0]),
+                jnp.where(active == 1, p[1], s[1]),
+            )
+            for p, s in zip(permuted, state)
+        ]
+
+    out = []
+    for lane in range(4):
+        lo, hi = state[lane]
+        for w in (lo, hi):
+            out.extend(
+                [w & 0xFF, (w >> 8) & 0xFF, (w >> 16) & 0xFF, (w >> 24) & 0xFF]
+            )
+    return jnp.stack(out, axis=1)

@@ -134,10 +134,11 @@ class HashGate:
     ``fetch_nearest_bytes(num_bits)`` truncation: per message byte, the source
     witness, its limb index and the in-limb shift."""
 
-    kind: str  # "sha256" | "blake2s" | "keccak256"
+    kind: str  # "sha256" | "blake2s" | "keccak256" | "keccak_var"
     byte_src: List[Tuple[int, int, int]]  # (witness, limb, shift)
     outputs: List[int]
     opcode_index: int
+    size_witness: Optional[int] = None  # keccak_var: per-instance byte count
 
 
 @dataclass
@@ -148,6 +149,19 @@ class EcFixedBaseGate:
     high: int
     out_x: int
     out_y: int
+    opcode_index: int
+
+
+@dataclass
+class SchnorrGate:
+    """Grumpkin Schnorr verification (device pipeline: fixed-base +
+    variable-base scalar mul, pedersen-compress challenge, blake2s)."""
+
+    pub_x: int
+    pub_y: int
+    signature: List[int]  # 64 witnesses, one byte each
+    message: List[int]
+    output: int
     opcode_index: int
 
 
@@ -217,6 +231,7 @@ class Level:
     hashes: List[HashGate] = dc_field(default_factory=list)
     ec_fixed_base: List[EcFixedBaseGate] = dc_field(default_factory=list)
     ec_pedersen: List[EcPedersenGate] = dc_field(default_factory=list)
+    schnorr: List[SchnorrGate] = dc_field(default_factory=list)
     # Witnesses force-set to zero (RecursiveAggregation outputs —
     # blackbox/mod.rs:154-161).
     zero_out: List[int] = dc_field(default_factory=list)
@@ -235,6 +250,7 @@ class Level:
             + len(self.hashes)
             + len(self.ec_fixed_base)
             + len(self.ec_pedersen)
+            + len(self.schnorr)
             + (1 if self.zero_out else 0)
             + len(self.memory)
             + len(self.brillig)
@@ -439,16 +455,30 @@ class _Planner:
             )
             self._mark_known(int(call.output), level_idx)
             return
-        if isinstance(call, (ops.BBSha256, ops.BBBlake2s, ops.BBKeccak256)):
+        if isinstance(
+            call,
+            (
+                ops.BBSha256,
+                ops.BBBlake2s,
+                ops.BBKeccak256,
+                ops.BBKeccak256VariableLength,
+            ),
+        ):
             outputs = [int(w) for w in call.get_outputs_vec()]
             if len(outputs) == 32:
                 kind = {
                     ops.BBSha256: "sha256",
                     ops.BBBlake2s: "blake2s",
                     ops.BBKeccak256: "keccak256",
+                    ops.BBKeccak256VariableLength: "keccak_var",
                 }[type(call)]
+                size_witness = None
+                if isinstance(call, ops.BBKeccak256VariableLength):
+                    size_witness = int(call.var_message_size.witness)
                 byte_src = []
                 level_idx = 0
+                if size_witness is not None:
+                    level_idx = self._witness_level(size_witness)
                 for fi in call.inputs:
                     w = int(fi.witness)
                     level_idx = max(level_idx, self._witness_level(w))
@@ -457,7 +487,7 @@ class _Planner:
                         byte_src.append((w, j // 2, 8 * (j % 2)))
                 level_idx += 1
                 self._level(level_idx).hashes.append(
-                    HashGate(kind, byte_src, outputs, opcode_index)
+                    HashGate(kind, byte_src, outputs, opcode_index, size_witness)
                 )
                 for w in outputs:
                     self._mark_known(w, level_idx)
@@ -485,6 +515,21 @@ class _Planner:
             )
             self._mark_known(out_x, level_idx)
             self._mark_known(out_y, level_idx)
+            return
+        if isinstance(call, ops.BBSchnorrVerify) and len(call.signature) == 64:
+            reads = [int(fi.witness) for fi in call.get_inputs_vec()]
+            level_idx = max(self._witness_level(w) for w in reads) + 1
+            self._level(level_idx).schnorr.append(
+                SchnorrGate(
+                    pub_x=int(call.public_key_x.witness),
+                    pub_y=int(call.public_key_y.witness),
+                    signature=[int(fi.witness) for fi in call.signature],
+                    message=[int(fi.witness) for fi in call.message],
+                    output=int(call.output),
+                    opcode_index=opcode_index,
+                )
+            )
+            self._mark_known(int(call.output), level_idx)
             return
         if isinstance(call, ops.BBRecursiveAggregation):
             # Outputs are zeroed; the real value comes from the proving backend

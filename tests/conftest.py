@@ -1,9 +1,11 @@
 import os
 import sys
 
-# Multi-chip sharding tests run on a virtual 8-device CPU mesh; set this before
-# any jax import so the platform/device count sticks.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Tests run on whatever platform the environment provides (the single-chip TPU
+# tunnel here — real-hardware validation).  Multi-chip mesh tests spawn
+# subprocesses that switch to a virtual 8-device CPU platform via
+# jax.config.update (the ambient sitecustomize registers the TPU plugin before
+# conftest runs, so env vars alone cannot override the platform).
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,96 @@
+"""Multi-chip sharding tests on a virtual 8-device CPU mesh.
+
+The ambient sitecustomize registers the TPU plugin before pytest starts, so
+these run in subprocesses that switch the platform with jax.config.update
+(mirroring how the driver validates ``dryrun_multichip``).
+"""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cpu_subprocess(body: str, timeout: int = 3000):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    code = textwrap.dedent(
+        """
+        import os, sys
+        sys.path.insert(0, {repo!r})
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        assert len(jax.devices()) == 8, jax.devices()
+        """
+    ).format(repo=REPO) + textwrap.dedent(body)
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    return proc.stdout
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_8():
+    out = run_cpu_subprocess(
+        """
+        import __graft_entry__ as ge
+        ge.dryrun_multichip(8)
+        print("MULTICHIP_OK")
+        """
+    )
+    assert "MULTICHIP_OK" in out
+
+
+@pytest.mark.slow
+def test_sharded_pedersen_msm():
+    out = run_cpu_subprocess(
+        """
+        import numpy as np
+        import jax, jax.numpy as jnp
+        from jax.sharding import Mesh
+        from acvm_tpu.blackbox.ec import grumpkin
+        from acvm_tpu.blackbox.grumpkin import derive_generator
+        from acvm_tpu.fields import BN254_FR
+        from acvm_tpu.fields.jnp_ops import LimbContext
+        from acvm_tpu.fields.limbs import ints_to_limbs, limbs_to_ints
+        from acvm_tpu.tpu import ec
+
+        ctx = LimbContext(BN254_FR)
+        devices = np.asarray(jax.devices()[:2]).reshape(1, 2)
+        mesh = Mesh(devices, ("data", "model"))
+
+        n_gen, batch = 2, 3
+        gens = [derive_generator(0, i) for i in range(n_gen)]
+        tables = jnp.stack([ec.window_table(g) for g in gens])
+        rng = np.random.RandomState(3)
+        scalars_int = [
+            [int(rng.randint(1, 1 << 30)) for _ in range(n_gen)]
+            for _ in range(batch)
+        ]
+        scalars = jnp.asarray(np.stack([ints_to_limbs(r) for r in scalars_int]))
+
+        ax, ay = ec.pedersen_msm_sharded(ctx, tables, scalars, mesh)
+        xs = limbs_to_ints(np.asarray(ax))
+        ys = limbs_to_ints(np.asarray(ay))
+        for b in range(batch):
+            expected = None
+            for g, s in zip(gens, scalars_int[b]):
+                expected = grumpkin.add(expected, grumpkin.mul(s, g))
+            assert (xs[b], ys[b]) == expected, b
+        print("SHARDED_MSM_OK")
+        """
+    )
+    assert "SHARDED_MSM_OK" in out

@@ -104,3 +104,45 @@ def test_hash_gadgets_in_batch_solver():
                 result.witness_ints(int(w))[b] for w in outs
             )
             assert got == expected[name], (name, msg)
+
+
+def test_keccak_var_kernel():
+    msg = bytes(range(150))
+    arr = jnp.asarray(
+        np.frombuffer(msg, dtype=np.uint8).astype(np.uint32)[None].repeat(4, 0)
+    )
+    lengths = jnp.asarray(np.array([0, 5, 136, 150], dtype=np.uint32))
+    digests = jax.jit(gadgets.keccak256_var_digest)(arr, lengths)
+    for i, n in enumerate([0, 5, 136, 150]):
+        got = bytes(np.asarray(digests)[i].astype(np.uint8))
+        assert got == host_keccak256(msg[:n]), n
+
+
+def test_keccak_var_in_batch_solver():
+    n = 10
+    inputs = [ops.FunctionInput(Witness(i + 1), 8) for i in range(n)]
+    size_w = Witness(n + 1)
+    outs = [Witness(n + 2 + i) for i in range(32)]
+    opcode = ops.OpcodeBlackBoxFuncCall(
+        ops.BBKeccak256VariableLength(list(inputs), ops.FunctionInput(size_w, 32), outs)
+    )
+    circuit = Circuit(
+        current_witness_index=int(outs[-1]),
+        opcodes=[opcode],
+        private_parameters={Witness(i + 1) for i in range(n + 1)},
+    )
+    plan = plan_circuit(circuit)
+    assert all(not level.host for level in plan.levels)
+    solver = BatchSolver(plan)
+
+    msg = bytes(rng.randrange(256) for _ in range(n))
+    batch = []
+    for size in (0, 4, 10, 11):  # 11 > n -> must flag the instance
+        a = {i + 1: msg[i] for i in range(n)}
+        a[int(size_w)] = size
+        batch.append(a)
+    result = solver.solve(batch)
+    assert result.ok.tolist() == [True, True, True, False]
+    for b, size in enumerate((0, 4, 10)):
+        got = bytes(result.witness_ints(int(w))[b] for w in outs)
+        assert got == host_keccak256(msg[:size]), size

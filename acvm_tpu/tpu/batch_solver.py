@@ -106,22 +106,35 @@ def _allow_mask(num_bits: int) -> np.ndarray:
 
 
 def eval_exprs(ctx: LimbContext, W: jnp.ndarray, pack) -> jnp.ndarray:
-    """Evaluate E packed expressions for every instance: (B, E, NUM_LIMBS)."""
+    """Evaluate E packed expressions for every instance: (B, E, NUM_LIMBS).
+
+    All linear terms multiply in ONE batched mont_mul over a (B, E, n) panel
+    (a single Pallas launch on TPU); the modular-add fold over n is an
+    elementwise chain XLA fuses into one traversal.
+    """
     B = W.shape[0]
     E = pack["qc"].shape[0]
     acc = jnp.broadcast_to(pack["qc"][None], (B, E, NUM_LIMBS))
     n = pack["lin_idx"].shape[1]
-    for j in range(n):
-        vals = jnp.take(W, pack["lin_idx"][:, j], axis=1)  # (B, E, L)
-        term = ctx.mont_mul(pack["lin_coeff"][None, :, j], vals)
-        acc = ctx.add(acc, term)
+    if n:
+        vals = jnp.take(W, pack["lin_idx"].reshape(-1), axis=1).reshape(
+            B, E, n, NUM_LIMBS
+        )
+        terms = ctx.mont_mul(pack["lin_coeff"][None], vals)  # (B, E, n, L)
+        for j in range(n):
+            acc = ctx.add(acc, terms[:, :, j])
     m = pack["mul_idx"].shape[1]
-    for k in range(m):
-        v1 = jnp.take(W, pack["mul_idx"][:, k, 0], axis=1)
-        v2 = jnp.take(W, pack["mul_idx"][:, k, 1], axis=1)
-        prod = ctx.mont_mul(v1, v2)  # w1*w2*R^-1
-        term = ctx.mont_mul(pack["mul_coeff"][None, :, k], prod)
-        acc = ctx.add(acc, term)
+    if m:
+        v1 = jnp.take(W, pack["mul_idx"][:, :, 0].reshape(-1), axis=1).reshape(
+            B, E, m, NUM_LIMBS
+        )
+        v2 = jnp.take(W, pack["mul_idx"][:, :, 1].reshape(-1), axis=1).reshape(
+            B, E, m, NUM_LIMBS
+        )
+        prods = ctx.mont_mul(v1, v2)  # w1*w2*R^-1
+        terms = ctx.mont_mul(pack["mul_coeff"][None], prods)
+        for k in range(m):
+            acc = ctx.add(acc, terms[:, :, k])
     return acc
 
 

@@ -183,6 +183,11 @@ def fixed_base_mul(
     Returns a Montgomery jacobian point batch.
     """
     digits = _window_digits(scalar_limbs)  # (B, 64)
+    # A truncated table (fewer than NUM_WINDOWS windows) restricts the scalar
+    # range to 2^(4*windows); callers guarantee the bound.  Tests use short
+    # tables to keep compile times down on weak hosts.
+    num_windows = table.shape[0]
+    digits = digits[..., :num_windows]
     acc = pt_infinity(ctx, scalar_limbs.shape[:-1])
 
     def body(acc, xs):

@@ -51,33 +51,43 @@ def main():
     # Warm up / compile.
     W, ok, mem = fn(*state)
     W.block_until_ready()
-
-    t0 = time.perf_counter()
-    W, ok, mem = fn(*state)
-    W.block_until_ready()
-    elapsed = time.perf_counter() - t0
-
     assert bool(ok.all()), "benchmark circuit must be satisfiable"
+
+    # Correctness spot-check: final witness of instance 0 vs the sequential
+    # engine (the bench must never report a fast-but-wrong number).
+    from acvm_tpu.acir import Witness, WitnessMap
+    from acvm_tpu.blackbox import StubBlackBoxSolver
+    from acvm_tpu.fields import FieldElement
+    from acvm_tpu.pwg import ACVM, ACVMStatus
+    from acvm_tpu.tpu.batch_solver import BatchResult
+    import numpy as np
+
+    wm = WitnessMap()
+    for w, v in inputs[0].items():
+        wm.insert(Witness(w), FieldElement(v))
+    acvm = ACVM(StubBlackBoxSolver(), circuit.opcodes, wm)
+    seq_t0 = time.perf_counter()
+    assert acvm.solve() == ACVMStatus.SOLVED
+    seq_elapsed = time.perf_counter() - seq_t0
+    expected = acvm.finalize()
+    last = circuit.current_witness_index
+    got = BatchResult(solver, np.asarray(W), np.asarray(ok)).witness_ints(last)[0]
+    assert got == int(expected.get(Witness(last))), "device result mismatch"
+
+    # Timed runs: block every iteration (queuing async solves holds multiple
+    # level-panel buffers live and can exhaust HBM); report the best of 3.
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        W, ok, mem = fn(*state)
+        W.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
+
     witness_solves_per_sec = batch * num_gates / elapsed
 
-    # Sequential host-engine baseline (single instance).
-    if os.environ.get("BENCH_SKIP_SEQ"):
-        seq_per_sec = float(os.environ.get("BENCH_SEQ_RATE", "40000"))
-    else:
-        from acvm_tpu.acir import Witness, WitnessMap
-        from acvm_tpu.blackbox import StubBlackBoxSolver
-        from acvm_tpu.fields import FieldElement
-        from acvm_tpu.pwg import ACVM, ACVMStatus
-
-        wm = WitnessMap()
-        for w, v in inputs[0].items():
-            wm.insert(Witness(w), FieldElement(v))
-        t0 = time.perf_counter()
-        acvm = ACVM(StubBlackBoxSolver(), circuit.opcodes, wm)
-        status = acvm.solve()
-        seq_elapsed = time.perf_counter() - t0
-        assert status == ACVMStatus.SOLVED
-        seq_per_sec = num_gates / seq_elapsed
+    # Sequential host-engine baseline (measured above during verification).
+    seq_per_sec = num_gates / seq_elapsed
 
     print(
         json.dumps(

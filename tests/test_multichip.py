@@ -74,7 +74,8 @@ def test_sharded_pedersen_msm():
 
         n_gen, batch = 2, 3
         gens = [derive_generator(0, i) for i in range(n_gen)]
-        tables = jnp.stack([ec.window_table(g) for g in gens])
+        # 8 windows cover the < 2^30 test scalars and keep CPU compiles sane
+        tables = jnp.stack([ec.window_table(g)[:8] for g in gens])
         rng = np.random.RandomState(3)
         scalars_int = [
             [int(rng.randint(1, 1 << 30)) for _ in range(n_gen)]

@@ -11,8 +11,7 @@ Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Environment knobs: BENCH_BATCH (default 256), BENCH_LEVELS (8),
-BENCH_GATES_PER_LEVEL (8192), BENCH_SKIP_SEQ=1 to reuse the recorded
-sequential baseline instead of re-measuring it.
+BENCH_GATES_PER_LEVEL (8192).
 """
 
 import json

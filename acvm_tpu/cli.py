@@ -67,12 +67,26 @@ def cmd_execute(args):
 def cmd_solve(args):
     from .tpu import BatchSolver, plan_circuit
 
+    mesh = None
+    if getattr(args, "distributed", False):
+        # Multi-host: run the same command on every host of the slice with the
+        # standard JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID
+        # env (or TPU pod auto-detection); the batch shards over all chips.
+        from .parallel import distributed
+
+        distributed.initialize()
+        mesh = distributed.global_mesh()
+    elif getattr(args, "mesh", False):
+        from .parallel import make_mesh
+
+        mesh = make_mesh()
+
     circuit = _load_circuit(args.circuit)
     initial = _witness_map_from_json(args.witness_json or "{}")
     assignment = {int(w): int(v) for w, v in initial}
 
     plan = plan_circuit(circuit, input_witnesses=list(assignment))
-    solver = BatchSolver(plan)
+    solver = BatchSolver(plan, mesh=mesh)
     result = solver.solve([assignment] * args.batch)
     ok = result.ok
     print(
@@ -160,6 +174,14 @@ def main(argv=None):
     p.add_argument("--circuit", required=True)
     p.add_argument("--witness-json", help="initial witness JSON")
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument(
+        "--mesh", action="store_true",
+        help="shard the batch over all local devices",
+    )
+    p.add_argument(
+        "--distributed", action="store_true",
+        help="jax.distributed multi-host launch (run on every host)",
+    )
     p.set_defaults(fn=cmd_solve)
 
     p = sub.add_parser("compile", help="run the backend-targeting compiler")

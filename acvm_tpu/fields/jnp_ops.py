@@ -38,6 +38,14 @@ class LimbContext:
 
     def __init__(self, params: FieldParams = BN254_FR):
         self.params = params
+        # Fields with p >= 2^255 (secp256k1/r1 base and scalar fields) need one
+        # extra carry limb in add/sub/mul intermediates: a+b and the CIOS
+        # accumulator can reach 2p >= 2^256.  BN254/BLS12-381 Fr (<= 255 bits)
+        # take the narrow path.
+        self.wide = params.modulus.bit_length() > LIMB_BITS * NUM_LIMBS - 1
+        self.p_ext = jnp.asarray(
+            list(int_to_limbs(params.modulus)) + [0], dtype=jnp.uint32
+        )
         self.p_limbs = jnp.asarray(int_to_limbs(params.modulus), dtype=jnp.uint32)
         self.r2_limbs = jnp.asarray(int_to_limbs(params.r2), dtype=jnp.uint32)
         self.one_limbs = jnp.asarray(int_to_limbs(1), dtype=jnp.uint32)
@@ -80,21 +88,31 @@ class LimbContext:
 
     # ---- modular add / sub --------------------------------------------------
     def add(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        if self.wide:
+            s = _carry_propagate(_ext1(a.astype(jnp.uint32) + b.astype(jnp.uint32)))
+            return _cond_sub(s, self.p_ext)[..., :NUM_LIMBS]
         s = _carry_propagate(a.astype(jnp.uint32) + b.astype(jnp.uint32))
         return _cond_sub(s, self.p_limbs)
 
     def sub(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-        # a - b + p, then conditional subtract p.
+        # a - b + p, then conditional subtract p.  The two's-complement
+        # negation adds a power-of-two that the carry propagation discards
+        # past the top limb (see _neg_limbs).
+        if self.wide:
+            s = _carry_propagate(
+                _ext1(a.astype(jnp.uint32)) + self.p_ext + _neg_limbs(_ext1(b))
+            )
+            return _cond_sub(s, self.p_ext)[..., :NUM_LIMBS]
         s = _carry_propagate(
             a.astype(jnp.uint32) + self.p_limbs.astype(jnp.uint32) + _neg_limbs(b)
         )
-        # a + (2^256 - b) + p == a - b + p + 2^256; drop the 2^256 carry which
-        # _carry_propagate discards beyond NUM_LIMBS... handled in _neg via
-        # two's-complement; see _neg_limbs.
         return _cond_sub(s, self.p_limbs)
 
     def neg(self, a: jnp.ndarray) -> jnp.ndarray:
         # p - a, with p - 0 = p mapped back to 0 by the conditional subtract.
+        if self.wide:
+            s = _carry_propagate(self.p_ext + _neg_limbs(_ext1(a)))
+            return _cond_sub(s, self.p_ext)[..., :NUM_LIMBS]
         s = _carry_propagate(
             self.p_limbs.astype(jnp.uint32) + _neg_limbs(a)
         )
@@ -146,6 +164,11 @@ class LimbContext:
                 axis=-1,
             )
 
+        if self.wide:
+            # Value < 2p can exceed 2^256: keep the 17th limb through the
+            # normalization and conditional subtract.
+            s = _carry_propagate(t)
+            return _cond_sub(s, self.p_ext)[..., :NUM_LIMBS]
         t = _carry_propagate_wide(t)  # -> (..., NUM_LIMBS), value < 2p
         return _cond_sub(t, p)
 
@@ -162,6 +185,10 @@ class LimbContext:
     def mont_inv(self, a: jnp.ndarray) -> jnp.ndarray:
         """Inverse in Montgomery form: inv(aR) = a^-1 R.  Zero maps to zero
         (matching the reference FieldElement::inverse)."""
+        if self._pallas_ok(a.shape):
+            from .pallas_mul import mont_pow_pallas
+
+            return mont_pow_pallas(a, self.params.modulus - 2, self.params)
         # Fermat: (aR)^(p-2) scaled appropriately.  Working purely in
         # Montgomery ops: pow_mont(x, p-2) computes x^(p-2) R^-(p-3)... easier:
         # define mpow on Montgomery values: result starts at R (the Montgomery
@@ -225,6 +252,13 @@ class LimbContext:
 # ---------------------------------------------------------------------------
 # free helpers
 # ---------------------------------------------------------------------------
+
+
+def _ext1(a: jnp.ndarray) -> jnp.ndarray:
+    """Append one zero limb (room for a 2^256 carry on wide moduli)."""
+    return jnp.concatenate(
+        [a, jnp.zeros(a.shape[:-1] + (1,), dtype=a.dtype)], axis=-1
+    )
 
 
 def _carry_propagate(t: jnp.ndarray) -> jnp.ndarray:

@@ -105,25 +105,32 @@ def _allow_mask(num_bits: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def eval_exprs(ctx: LimbContext, W: jnp.ndarray, pack) -> jnp.ndarray:
+def eval_exprs(
+    ctx: LimbContext, W: jnp.ndarray, pack, scale=None
+) -> jnp.ndarray:
     """Evaluate E packed expressions for every instance: (B, E, NUM_LIMBS).
 
-    All linear terms multiply in ONE batched mont_mul over a (B, E, n) panel
-    (a single Pallas launch on TPU); the modular-add fold over n is an
-    elementwise chain XLA fuses into one traversal.
+    On TPU with a big enough batch the whole per-gate chain — gathered-operand
+    Montgomery multiplies, the modular-add fold, the q_c add and the optional
+    final ``scale`` multiply — runs as ONE fused Pallas launch
+    (:func:`acvm_tpu.fields.pallas_mul.mont_dot_pallas`) with the accumulator
+    resident in VMEM; only the witness gathers (and the witness*witness
+    pre-multiply for quadratic terms) stay in XLA.  Otherwise the jnp path
+    below evaluates the same chain op by op.
+
+    ``scale`` (E, L limbs, Montgomery form) multiplies the accumulated value,
+    fusing e.g. the arithmetic gate's -1/den_const into the same kernel.
     """
     B = W.shape[0]
     E = pack["qc"].shape[0]
-    acc = jnp.broadcast_to(pack["qc"][None], (B, E, NUM_LIMBS))
     n = pack["lin_idx"].shape[1]
+    m = pack["mul_idx"].shape[1]
+
+    vals = prods = None
     if n:
         vals = jnp.take(W, pack["lin_idx"].reshape(-1), axis=1).reshape(
             B, E, n, NUM_LIMBS
         )
-        terms = ctx.mont_mul(pack["lin_coeff"][None], vals)  # (B, E, n, L)
-        for j in range(n):
-            acc = ctx.add(acc, terms[:, :, j])
-    m = pack["mul_idx"].shape[1]
     if m:
         v1 = jnp.take(W, pack["mul_idx"][:, :, 0].reshape(-1), axis=1).reshape(
             B, E, m, NUM_LIMBS
@@ -132,27 +139,43 @@ def eval_exprs(ctx: LimbContext, W: jnp.ndarray, pack) -> jnp.ndarray:
             B, E, m, NUM_LIMBS
         )
         prods = ctx.mont_mul(v1, v2)  # w1*w2*R^-1
+
+    if (n or m) and ctx._pallas_ok((B * E, NUM_LIMBS)):
+        from ..fields.pallas_mul import mont_dot_pallas
+
+        panels = [x for x in (vals, prods) if x is not None]
+        coeffs = [
+            jnp.asarray(c)
+            for c, x in ((pack["lin_coeff"], vals), (pack["mul_coeff"], prods))
+            if x is not None
+        ]
+        panel = panels[0] if len(panels) == 1 else jnp.concatenate(panels, axis=2)
+        coeff = coeffs[0] if len(coeffs) == 1 else jnp.concatenate(coeffs, axis=1)
+        return mont_dot_pallas(panel, coeff, jnp.asarray(pack["qc"]), scale)
+
+    acc = jnp.broadcast_to(pack["qc"][None], (B, E, NUM_LIMBS))
+    if n:
+        terms = ctx.mont_mul(pack["lin_coeff"][None], vals)  # (B, E, n, L)
+        for j in range(n):
+            acc = ctx.add(acc, terms[:, :, j])
+    if m:
         terms = ctx.mont_mul(pack["mul_coeff"][None], prods)
         for k in range(m):
             acc = ctx.add(acc, terms[:, :, k])
+    if scale is not None:
+        acc = ctx.mont_mul(jnp.asarray(scale)[None], acc)
     return acc
 
 
 def run_arith_solve_static(ctx, W, ok, buf):
-    num = eval_exprs(ctx, W, buf["num"])
-    val = ctx.mont_mul(buf["neg_inv"][None], num)  # -num / den_const
+    # -num / den_const, with the division baked into the fused eval's scale.
+    val = eval_exprs(ctx, W, buf["num"], scale=buf["neg_inv"])
     return W.at[:, buf["u_idx"]].set(val), ok
 
 
 def run_arith_solve_dyn(ctx, W, ok, buf):
     num = eval_exprs(ctx, W, buf["num"])
-    den = jnp.broadcast_to(
-        buf["den_const"][None], (W.shape[0],) + buf["den_const"].shape
-    )
-    d = buf["dyn_idx"].shape[1]
-    for j in range(d):
-        vals = jnp.take(W, buf["dyn_idx"][:, j], axis=1)
-        den = ctx.add(den, ctx.mont_mul(buf["dyn_coeff"][None, :, j], vals))
+    den = eval_exprs(ctx, W, buf["den"])
     den_zero = ctx.is_zero(den)
     num_zero = ctx.is_zero(num)
     inv_m = ctx.mont_inv(ctx.to_mont(den))  # den^-1 * R
@@ -320,6 +343,35 @@ def run_schnorr(ctx, W, ok, buf):
     return W.at[:, buf["out_idx"]].set(out), ok
 
 
+def run_ecdsa(ctx, W, ok, buf):
+    """Grouped ECDSA verifications on one curve (device limb kernels)."""
+    from . import ecdsa as ecdsa_dev
+
+    B = W.shape[0]
+    G = buf["pub_x"].shape[0]
+
+    def bytes_of(idx):
+        # to_u8_vec semantics: last BE byte of each witness == low byte limb 0.
+        return (
+            jnp.take(W, idx.reshape(-1), axis=1)[..., 0] & jnp.uint32(0xFF)
+        ).reshape(B * G, idx.shape[1])
+
+    valid, err = ecdsa_dev.ecdsa_verify_batched(
+        buf["curve"],
+        bytes_of(buf["pub_x"]),
+        bytes_of(buf["pub_y"]),
+        bytes_of(buf["sig"]),
+        bytes_of(buf["msg"]),
+    )
+    valid = valid.reshape(B, G)
+    # The host path raises BlackBoxFunctionFailed on these (reference panics);
+    # the batched analogue flips the instance flag.
+    ok = ok & jnp.all(~err.reshape(B, G), axis=1)
+    out = jnp.zeros((B, G, NUM_LIMBS), dtype=jnp.uint32)
+    out = out.at[..., 0].set(valid.astype(jnp.uint32))
+    return W.at[:, buf["out_idx"]].set(out), ok
+
+
 def run_memory_init(ctx, W, ok, mem, buf):
     block = mem[buf["block_key"]]
     vals = jnp.take(W, buf["init_idx"], axis=1)  # (B, len, L)
@@ -444,9 +496,17 @@ class BatchSolver:
             packed["arith_dyn"] = dict(
                 num=pack_exprs([g.num for g in dyn_gates]),
                 u_idx=np.asarray([g.unknown for g in dyn_gates], np.int32),
-                den_const=np.stack([_limbs_of(g.den_const) for g in dyn_gates]),
-                dyn_idx=dyn_idx,
-                dyn_coeff=dyn_coeff,
+                # The denominator is itself an expression panel: qc=den_const,
+                # linear terms = the mul-term partners.
+                den=dict(
+                    lin_idx=dyn_idx,
+                    lin_coeff=dyn_coeff,
+                    mul_idx=np.zeros((len(dyn_gates), 0, 2), np.int32),
+                    mul_coeff=np.zeros(
+                        (len(dyn_gates), 0, NUM_LIMBS), np.uint32
+                    ),
+                    qc=np.stack([_limbs_of(g.den_const) for g in dyn_gates]),
+                ),
             )
         if level.arith_check:
             packed["kinds"].append("arith_check")
@@ -612,6 +672,22 @@ class BatchSolver:
                     )
                 )
             packed["schnorr"] = schnorr_packs
+        if level.ecdsa:
+            groups: Dict[str, list] = {}
+            for gate in level.ecdsa:
+                groups.setdefault(gate.curve, []).append(gate)
+            packed["kinds"].append("ecdsa")
+            packed["ecdsa"] = [
+                dict(
+                    curve=curve,
+                    pub_x=np.asarray([g.pub_x for g in gates], np.int32),
+                    pub_y=np.asarray([g.pub_y for g in gates], np.int32),
+                    sig=np.asarray([g.signature for g in gates], np.int32),
+                    msg=np.asarray([g.hashed_msg for g in gates], np.int32),
+                    out_idx=np.asarray([g.output for g in gates], np.int32),
+                )
+                for curve, gates in groups.items()
+            ]
         if level.zero_out:
             packed["kinds"].append("zero_out")
             packed["zero_out"] = dict(
@@ -707,6 +783,9 @@ class BatchSolver:
             elif kind == "schnorr":
                 for schnorr_buf in packed["schnorr"]:
                     W, ok = run_schnorr(ctx, W, ok, schnorr_buf)
+            elif kind == "ecdsa":
+                for ecdsa_buf in packed["ecdsa"]:
+                    W, ok = run_ecdsa(ctx, W, ok, ecdsa_buf)
             elif kind == "zero_out":
                 idx = packed["zero_out"]["idx"]
                 W = W.at[:, idx].set(0)
@@ -723,15 +802,97 @@ class BatchSolver:
                 raise AssertionError(kind)
         return W, ok, mem
 
+    def _pad_static_level(self, buf: dict, to: int) -> dict:
+        """Pad an arith_static pack's gate axis to ``to``: zero coefficients
+        make padding gates compute 0, and their scatter lands in the scratch
+        witness column (index plan.num_witnesses) that initial_state allocates
+        past the real witnesses."""
+        E = buf["u_idx"].shape[0]
+        if E == to:
+            return buf
+        pad = to - E
+
+        def pad0(a):
+            widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+            return np.pad(a, widths)
+
+        out = jax.tree_util.tree_map(pad0, buf)
+        out["u_idx"] = np.concatenate(
+            [buf["u_idx"], np.full((pad,), self.plan.num_witnesses, np.int32)]
+        )
+        return out
+
+    def _scan_groups(self, levels: List[dict]) -> List[object]:
+        """Group consecutive pure-arith_static levels whose term shapes match
+        into ONE ``lax.scan`` body over stacked descriptors: deep circuits are
+        dominated by such levels, and scanning keeps the compiled graph one
+        level deep instead of unrolling hundreds of copies (compile time in
+        this environment is the scarce resource).  Gate counts are padded up
+        to a power-of-two bucket so nearby levels share a shape (< 2x padded
+        compute worst case, and padding gates cost no HBM writes beyond the
+        scratch column)."""
+
+        def key(packed):
+            if packed["kinds"] != ["arith_static"]:
+                return None
+            buf = packed["arith_static"]
+            E = buf["u_idx"].shape[0]
+            bucket = 1 << max(0, (E - 1).bit_length())
+            return (bucket, buf["num"]["lin_idx"].shape[1:],
+                    buf["num"]["mul_idx"].shape[1:])
+
+        groups: List[object] = []
+        run: List[dict] = []
+        run_key = None
+
+        def flush():
+            nonlocal run, run_key
+            if len(run) >= 2:
+                bucket = run_key[0]
+                groups.append(
+                    ("scan", [self._pad_static_level(p["arith_static"], bucket)
+                              for p in run])
+                )
+            else:
+                groups.extend(("level", p) for p in run)
+            run, run_key = [], None
+
+        for packed in levels:
+            k = key(packed)
+            if k is not None and k == run_key:
+                run.append(packed)
+                continue
+            flush()
+            if k is None:
+                groups.append(("level", packed))
+            else:
+                run, run_key = [packed], k
+        flush()
+        return groups
+
     def _segment_fn(self, seg_index: int):
         fn = self._segment_fns.get(seg_index)
         if fn is None:
             segment = self.segments[seg_index]
+            groups = self._scan_groups(segment.levels)
+            ctx = self.ctx
 
             @jax.jit
             def run(W, ok, mem):
-                for packed in segment.levels:
-                    W, ok, mem = self._run_level(W, ok, mem, packed)
+                for kind, item in groups:
+                    if kind == "scan":
+                        stacked = jax.tree_util.tree_map(
+                            lambda *xs: np.stack(xs), *item
+                        )
+
+                        def body(carry, xs):
+                            Wc, okc = carry
+                            Wc, okc = run_arith_solve_static(ctx, Wc, okc, xs)
+                            return (Wc, okc), None
+
+                        (W, ok), _ = jax.lax.scan(body, (W, ok), stacked)
+                    else:
+                        W, ok, mem = self._run_level(W, ok, mem, item)
                 return W, ok, mem
 
             fn = run
@@ -826,7 +987,9 @@ class BatchSolver:
     def initial_state(self, input_values: Sequence[Dict[int, int]]):
         """Build (W, ok, mem) from per-instance {witness_index: int} dicts."""
         B = len(input_values)
-        W = np.zeros((B, self.plan.num_witnesses, NUM_LIMBS), dtype=np.uint32)
+        # One scratch column past the real witnesses receives the scatter
+        # writes of shape-padding gates (see _pad_static_level).
+        W = np.zeros((B, self.plan.num_witnesses + 1, NUM_LIMBS), dtype=np.uint32)
         for b, assignment in enumerate(input_values):
             for w, v in assignment.items():
                 W[b, int(w)] = _limbs_of(int(v) % self.plan.params.modulus)
@@ -888,12 +1051,13 @@ class BatchResult:
         """Full per-instance witness maps (for conformance checks)."""
         out = []
         B = self.W.shape[0]
-        acc = np.zeros(self.W.shape[:2], dtype=object)
+        num_real = self.solver.plan.num_witnesses  # exclude the scratch column
+        acc = np.zeros((B, num_real), dtype=object)
         for li in range(NUM_LIMBS):
-            acc += self.W[:, :, li].astype(object) << (LIMB_BITS * li)
+            acc += self.W[:, :num_real, li].astype(object) << (LIMB_BITS * li)
         for b in range(B):
             wm = WitnessMap()
-            for w in range(self.W.shape[1]):
+            for w in range(num_real):
                 wm.insert(Witness(w), FieldElement(int(acc[b, w])))
             out.append(wm)
         return out

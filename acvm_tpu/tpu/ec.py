@@ -43,8 +43,32 @@ def pt_is_inf(p) -> jnp.ndarray:
     return jnp.all(p[2] == 0, axis=-1)
 
 
-def pt_double(ctx: LimbContext, p):
-    """dbl-2009-l (a = 0)."""
+def pt_double(ctx: LimbContext, p, a_mont=None):
+    """Jacobian doubling: dbl-2009-l for a = 0 (grumpkin/secp256k1), or
+    dbl-2007-bl with the ``a * Z^4`` term for general short-Weierstrass curves
+    (secp256r1's a = -3).  ``a_mont`` is the curve coefficient in Montgomery
+    limb form."""
+    if a_mont is not None:
+        x, y, z = p
+        XX = ctx.mont_mul(x, x)
+        YY = ctx.mont_mul(y, y)
+        YYYY = ctx.mont_mul(YY, YY)
+        ZZ = ctx.mont_mul(z, z)
+        t = ctx.add(x, YY)
+        t = ctx.mont_mul(t, t)
+        S = ctx.sub(ctx.sub(t, XX), YYYY)
+        S = ctx.add(S, S)
+        M = ctx.add(ctx.add(XX, XX), XX)
+        M = ctx.add(M, ctx.mont_mul(a_mont, ctx.mont_mul(ZZ, ZZ)))
+        x3 = ctx.sub(ctx.mont_mul(M, M), ctx.add(S, S))
+        Y8 = ctx.add(YYYY, YYYY)
+        Y8 = ctx.add(Y8, Y8)
+        Y8 = ctx.add(Y8, Y8)
+        y3 = ctx.sub(ctx.mont_mul(M, ctx.sub(S, x3)), Y8)
+        zy = ctx.add(y, z)
+        zy = ctx.mont_mul(zy, zy)
+        z3 = ctx.sub(ctx.sub(zy, YY), ZZ)
+        return x3, y3, z3
     x, y, z = p
     A = ctx.mont_mul(x, x)
     B = ctx.mont_mul(y, y)
@@ -65,7 +89,7 @@ def pt_double(ctx: LimbContext, p):
     return x3, y3, z3
 
 
-def pt_add(ctx: LimbContext, p, q):
+def pt_add(ctx: LimbContext, p, q, a_mont=None):
     """Branchless complete addition (add-2007-bl with select fallbacks)."""
     x1, y1, z1 = p
     x2, y2, z2 = q
@@ -90,7 +114,7 @@ def pt_add(ctx: LimbContext, p, q):
     zz = ctx.mont_mul(zz, zz)
     z3 = ctx.mont_mul(ctx.sub(ctx.sub(zz, Z1Z1), Z2Z2), H)
 
-    dx, dy, dz = pt_double(ctx, p)
+    dx, dy, dz = pt_double(ctx, p, a_mont)
 
     h_zero = ctx.is_zero(H)[..., None]
     r_zero = ctx.is_zero(Rr)[..., None]
@@ -175,7 +199,7 @@ def _window_digits(scalar_limbs: jnp.ndarray) -> jnp.ndarray:
 
 
 def fixed_base_mul(
-    ctx: LimbContext, table: jnp.ndarray, scalar_limbs: jnp.ndarray
+    ctx: LimbContext, table: jnp.ndarray, scalar_limbs: jnp.ndarray, a_mont=None
 ):
     """scalar * base via the precomputed window table.
 
@@ -194,22 +218,22 @@ def fixed_base_mul(
         table_w, digit = xs  # (16, 3, L), (B,)
         entry = jnp.take(table_w, digit, axis=0)  # (B, 3, L)
         q = (entry[..., 0, :], entry[..., 1, :], entry[..., 2, :])
-        return pt_add(ctx, acc, q), None
+        return pt_add(ctx, acc, q, a_mont), None
 
     acc, _ = jax.lax.scan(body, acc, (table, digits.swapaxes(0, 1)))
     return acc
 
 
-def scalar_mul(ctx: LimbContext, point, scalar_limbs: jnp.ndarray):
+def scalar_mul(ctx: LimbContext, point, scalar_limbs: jnp.ndarray, a_mont=None):
     """Generic double-and-add for variable bases (MSB-first scan)."""
     acc = pt_infinity(ctx, scalar_limbs.shape[:-1])
     bit_indices = jnp.arange(NUM_LIMBS * LIMB_BITS - 1, -1, -1)
 
     def body(acc, i):
-        acc = pt_double(ctx, acc)
+        acc = pt_double(ctx, acc, a_mont)
         limb = jnp.take(scalar_limbs, i // LIMB_BITS, axis=-1)
         bit = (limb >> (i % LIMB_BITS)) & 1
-        added = pt_add(ctx, acc, point)
+        added = pt_add(ctx, acc, point, a_mont)
         sel = (bit == 1)[..., None]
         acc = tuple(
             jnp.where(sel, a, b) for a, b in zip(added, acc)

@@ -166,6 +166,21 @@ class SchnorrGate:
 
 
 @dataclass
+class EcdsaGate:
+    """Batched device ECDSA verification (secp256k1 / secp256r1); inputs use
+    the reference's to_u8_vec semantics (last byte of each witness,
+    signature/mod.rs:5-18)."""
+
+    curve: str  # "secp256k1" | "secp256r1"
+    pub_x: List[int]  # 32 witnesses
+    pub_y: List[int]  # 32
+    signature: List[int]  # 64
+    hashed_msg: List[int]  # 32
+    output: int
+    opcode_index: int
+
+
+@dataclass
 class EcPedersenGate:
     """Pedersen commitment: sum_i W[input_i] * G_i(domain)."""
 
@@ -232,6 +247,7 @@ class Level:
     ec_fixed_base: List[EcFixedBaseGate] = dc_field(default_factory=list)
     ec_pedersen: List[EcPedersenGate] = dc_field(default_factory=list)
     schnorr: List[SchnorrGate] = dc_field(default_factory=list)
+    ecdsa: List[EcdsaGate] = dc_field(default_factory=list)
     # Witnesses force-set to zero (RecursiveAggregation outputs —
     # blackbox/mod.rs:154-161).
     zero_out: List[int] = dc_field(default_factory=list)
@@ -251,6 +267,7 @@ class Level:
             + len(self.ec_fixed_base)
             + len(self.ec_pedersen)
             + len(self.schnorr)
+            + len(self.ecdsa)
             + (1 if self.zero_out else 0)
             + len(self.memory)
             + len(self.brillig)
@@ -525,6 +542,29 @@ class _Planner:
                     pub_y=int(call.public_key_y.witness),
                     signature=[int(fi.witness) for fi in call.signature],
                     message=[int(fi.witness) for fi in call.message],
+                    output=int(call.output),
+                    opcode_index=opcode_index,
+                )
+            )
+            self._mark_known(int(call.output), level_idx)
+            return
+        if isinstance(call, (ops.BBEcdsaSecp256k1, ops.BBEcdsaSecp256r1)) and (
+            len(call.public_key_x) == 32
+            and len(call.public_key_y) == 32
+            and len(call.signature) == 64
+            and len(call.hashed_message) == 32
+        ):
+            reads = [int(fi.witness) for fi in call.get_inputs_vec()]
+            level_idx = max(self._witness_level(w) for w in reads) + 1
+            self._level(level_idx).ecdsa.append(
+                EcdsaGate(
+                    curve="secp256k1"
+                    if isinstance(call, ops.BBEcdsaSecp256k1)
+                    else "secp256r1",
+                    pub_x=[int(fi.witness) for fi in call.public_key_x],
+                    pub_y=[int(fi.witness) for fi in call.public_key_y],
+                    signature=[int(fi.witness) for fi in call.signature],
+                    hashed_msg=[int(fi.witness) for fi in call.hashed_message],
                     output=int(call.output),
                     opcode_index=opcode_index,
                 )

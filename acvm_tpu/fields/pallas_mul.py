@@ -185,8 +185,11 @@ def _make_pow_kernel(params: FieldParams, num_windows: int):
         mont = lambda x, y: _cios_full(x, y, p, n0_inv, zero_row, one_m)
 
         # Power table a^0 .. a^15 (Montgomery form), built once per block.
-        r_b = jnp.broadcast_to(r1, (NUM_LIMBS, tile))
-        table_ref[0] = r_b
+        # The broadcast is materialized through the VMEM scratch: slicing a
+        # lazily-replicated broadcast inside _cios_lazy trips Mosaic's
+        # "broadcast in both sublanes and lanes" limitation.
+        table_ref[0] = jnp.broadcast_to(r1, (NUM_LIMBS, tile))
+        r_b = table_ref[0]
         acc_k = r_b
         for k in range(1, 16):
             acc_k = mont(acc_k, a)

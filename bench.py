@@ -7,11 +7,20 @@ with the TPU batched engine and reports witness-solve throughput per chip.
 circuit one instance at a time (the reference publishes no numbers of its own —
 see BASELINE.md).
 
+Resilience: if the requested batch exhausts HBM the benchmark halves the batch
+and retries (the driver must always capture a number).  The solve step donates
+its witness buffer, so the timed loop chains state through the jit without
+holding two full panels live.
+
+Also reports the Montgomery-multiply microbenchmark against the documented
+per-chip roofline (see BASELINE.md "Roofline"): ``montmul_per_sec`` and
+``roofline_pct``.
+
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
 Environment knobs: BENCH_BATCH (default 256), BENCH_LEVELS (8),
-BENCH_GATES_PER_LEVEL (8192).
+BENCH_GATES_PER_LEVEL (8192), BENCH_MIN_BATCH (8).
 """
 
 import json
@@ -19,19 +28,50 @@ import os
 import sys
 import time
 
+# Documented speed-of-light estimate for the 16x16-limb CIOS Montgomery
+# multiply on one TPU v5e chip — see BASELINE.md "Roofline" for the
+# derivation (~2,950 int32 vector ops per multiply against ~6.1e12
+# elementwise int32 ops/s VPU peak).
+MONTMUL_ROOFLINE_PER_SEC = 2.05e9
 
-def main():
-    batch = int(os.environ.get("BENCH_BATCH", "256"))
-    levels = int(os.environ.get("BENCH_LEVELS", "8"))
-    gates_per_level = int(os.environ.get("BENCH_GATES_PER_LEVEL", "8192"))
 
-    os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-    )
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+def _is_oom(err: BaseException) -> bool:
+    return "RESOURCE_EXHAUSTED" in str(err) or "Resource exhausted" in str(err)
 
+
+def _bench_montmul(iters: int = 8, n: int = 1 << 20):
+    """Achieved Montgomery multiplies/sec on the fused Pallas kernel."""
     import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from acvm_tpu.fields.params import BN254_FR, NUM_LIMBS, LIMB_BITS
+    from acvm_tpu.fields.pallas_mul import mont_mul_pallas
+
+    rng = np.random.default_rng(42)
+    a = rng.integers(0, 1 << LIMB_BITS, size=(n, NUM_LIMBS), dtype=np.uint32)
+    a[:, -1] &= 0x0FFF  # keep < p
+    b = rng.integers(0, 1 << LIMB_BITS, size=(n, NUM_LIMBS), dtype=np.uint32)
+    b[:, -1] &= 0x0FFF
+
+    # Chain a*b -> a so the timed region is pure kernel work (donated input).
+    step = jax.jit(lambda x, y: mont_mul_pallas(x, y), donate_argnums=(0,))
+    x = jnp.asarray(a)
+    y = jnp.asarray(b)
+    x = step(x, y)
+    x.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = step(x, y)
+    x.block_until_ready()
+    elapsed = time.perf_counter() - t0
+    return iters * n / elapsed
+
+
+def _solve_throughput(batch: int, levels: int, gates_per_level: int):
+    """(witness_solves_per_sec, seq_per_sec, batch_used). Raises on OOM."""
+    import jax
+    import numpy as np
 
     from acvm_tpu.tpu import BatchSolver, plan_circuit
     from acvm_tpu.utils import build_wide_arith_circuit, random_inputs
@@ -45,7 +85,9 @@ def main():
     inputs = random_inputs(circuit, batch)
 
     state = solver.initial_state(inputs)
-    fn = solver._segment_fn(0)
+    # Donate the witness panel: the timed loop chains state through the jit so
+    # only one full (B, num_witnesses, 16) buffer is live at a time.
+    fn = jax.jit(solver._segment_fn(0), donate_argnums=(0,))
 
     # Warm up / compile.
     W, ok, mem = fn(*state)
@@ -59,7 +101,6 @@ def main():
     from acvm_tpu.fields import FieldElement
     from acvm_tpu.pwg import ACVM, ACVMStatus
     from acvm_tpu.tpu.batch_solver import BatchResult
-    import numpy as np
 
     wm = WitnessMap()
     for w, v in inputs[0].items():
@@ -72,32 +113,77 @@ def main():
     last = circuit.current_witness_index
     got = BatchResult(solver, np.asarray(W), np.asarray(ok)).witness_ints(last)[0]
     assert got == int(expected.get(Witness(last))), "device result mismatch"
+    del acvm, expected, wm
 
-    # Timed runs: block every iteration (queuing async solves holds multiple
-    # level-panel buffers live and can exhaust HBM); report the best of 3.
+    # Timed runs: chain (W, ok, mem) through the donated jit; solving an
+    # already-solved panel recomputes the identical values, so each run is the
+    # same work as the first.  Report the best of 3.
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        W, ok, mem = fn(*state)
+        W, ok, mem = fn(W, ok, mem)
         W.block_until_ready()
         times.append(time.perf_counter() - t0)
     elapsed = min(times)
 
-    witness_solves_per_sec = batch * num_gates / elapsed
+    return batch * num_gates / elapsed, num_gates / seq_elapsed
 
-    # Sequential host-engine baseline (measured above during verification).
-    seq_per_sec = num_gates / seq_elapsed
 
-    print(
-        json.dumps(
-            {
-                "metric": "witness_solves_per_sec_per_chip_2e16_gate_bn254",
-                "value": round(witness_solves_per_sec, 2),
-                "unit": "witness solves/s/chip",
-                "vs_baseline": round(witness_solves_per_sec / seq_per_sec, 3),
-            }
-        )
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    min_batch = int(os.environ.get("BENCH_MIN_BATCH", "8"))
+    levels = int(os.environ.get("BENCH_LEVELS", "8"))
+    gates_per_level = int(os.environ.get("BENCH_GATES_PER_LEVEL", "8192"))
+
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
     )
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+
+    import jax  # noqa: F401  (initialize before the retry loop)
+
+    # OOM-resilient headline measurement: halve the batch until it fits.
+    result = None
+    while True:
+        try:
+            wps, seq_per_sec = _solve_throughput(batch, levels, gates_per_level)
+            result = (wps, seq_per_sec, batch)
+            break
+        except Exception as err:  # noqa: BLE001 - only OOM is retried
+            if _is_oom(err) and batch > min_batch:
+                print(
+                    f"bench: batch {batch} exhausted HBM; retrying at "
+                    f"{batch // 2}",
+                    file=sys.stderr,
+                )
+                batch //= 2
+                continue
+            raise
+
+    wps, seq_per_sec, batch_used = result
+
+    try:
+        montmul_per_sec = _bench_montmul()
+    except Exception as err:  # noqa: BLE001 - microbench must not kill the run
+        print(f"bench: montmul microbench failed: {err}", file=sys.stderr)
+        montmul_per_sec = None
+
+    out = {
+        "metric": "witness_solves_per_sec_per_chip_2e16_gate_bn254",
+        "value": round(wps, 2),
+        "unit": "witness solves/s/chip",
+        "vs_baseline": round(wps / seq_per_sec, 3),
+        "batch": batch_used,
+        "seq_baseline_per_sec": round(seq_per_sec, 2),
+    }
+    if montmul_per_sec is not None:
+        out["montmul_per_sec"] = round(montmul_per_sec, 2)
+        out["montmul_roofline_per_sec"] = MONTMUL_ROOFLINE_PER_SEC
+        out["roofline_pct"] = round(
+            100.0 * montmul_per_sec / MONTMUL_ROOFLINE_PER_SEC, 2
+        )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -285,3 +285,54 @@ def test_hash_to_field_fallback_differential():
     assignment = {i + 1: message[i] for i in range(len(message))}
     solved = solve(compiled, assignment)
     assert solved.get(output) == hash_to_field_128_security(message)
+
+
+# -- padding-boundary / multi-block hash differentials -----------------------
+# The reference proptests arbitrary byte strings (acvm/tests/stdlib.rs:244+);
+# these fixed lengths pin the padding edge cases: sha256/blake2s block = 64
+# (padding needs 9 bytes, so 55 fits one block and 56 spills), keccak256
+# rate = 136.
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("length", [55, 56, 64, 120])
+def test_sha256_fallback_padding_boundaries(length):
+    message = bytes([rng.randrange(256) for _ in range(length)])
+    inputs = [ops.FunctionInput(Witness(i + 1), 8) for i in range(length)]
+    outputs = [Witness(length + 1 + i) for i in range(32)]
+    opcode = ops.OpcodeBlackBoxFuncCall(ops.BBSha256(inputs, outputs))
+    circuit = make_circuit([opcode], length, int(outputs[-1]))
+    compiled, _ = acvm_compile(circuit, PLONKCSat(3), ban(ops.BBSha256))
+    solved = solve(compiled, {i + 1: message[i] for i in range(length)})
+    digest = bytes(int(solved.get(w)) for w in outputs)
+    assert digest == hashlib.sha256(message).digest()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("length", [64, 65])
+def test_blake2s_fallback_block_boundaries(length):
+    message = bytes([rng.randrange(256) for _ in range(length)])
+    inputs = [ops.FunctionInput(Witness(i + 1), 8) for i in range(length)]
+    outputs = [Witness(length + 1 + i) for i in range(32)]
+    opcode = ops.OpcodeBlackBoxFuncCall(ops.BBBlake2s(inputs, outputs))
+    circuit = make_circuit([opcode], length, int(outputs[-1]))
+    compiled, _ = acvm_compile(circuit, PLONKCSat(3), ban(ops.BBBlake2s))
+    solved = solve(compiled, {i + 1: message[i] for i in range(length)})
+    digest = bytes(int(solved.get(w)) for w in outputs)
+    assert digest == hashlib.blake2s(message).digest()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("length", [135, 136, 137])
+def test_keccak256_fallback_rate_boundaries(length):
+    from acvm_tpu.blackbox import keccak256 as host_keccak256
+
+    message = bytes([rng.randrange(256) for _ in range(length)])
+    inputs = [ops.FunctionInput(Witness(i + 1), 8) for i in range(length)]
+    outputs = [Witness(length + 1 + i) for i in range(32)]
+    opcode = ops.OpcodeBlackBoxFuncCall(ops.BBKeccak256(inputs, outputs))
+    circuit = make_circuit([opcode], length, int(outputs[-1]))
+    compiled, _ = acvm_compile(circuit, PLONKCSat(3), ban(ops.BBKeccak256))
+    solved = solve(compiled, {i + 1: message[i] for i in range(length)})
+    digest = bytes(int(solved.get(w)) for w in outputs)
+    assert digest == host_keccak256(message)

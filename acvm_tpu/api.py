@@ -160,6 +160,34 @@ def execute_circuit(
     return acvm.finalize()
 
 
+def execute_circuit_batched(
+    circuit: Union[Circuit, bytes],
+    input_values: Sequence[dict],
+    config=None,
+    foreign_call_handler: Optional[ForeignCallHandler] = None,
+    solver: Optional[BlackBoxFunctionSolver] = None,
+    stats=None,
+):
+    """Solve ``circuit`` for a batch of instances on the TPU engine.
+
+    ``input_values`` is one ``{witness_index: int}`` dict per instance;
+    ``config`` (an :class:`acvm_tpu.config.EngineConfig`) selects field, mesh
+    and kernel policy.  Returns the
+    :class:`acvm_tpu.tpu.batch_solver.BatchResult`.
+    """
+    from .config import DEFAULT_CONFIG
+
+    config = config or DEFAULT_CONFIG
+    circuit = _as_circuit(circuit)
+    plan = config.plan(circuit)
+    batch_solver = config.solver(
+        plan,
+        backend=solver,
+        foreign_call_handler=foreign_call_handler,
+    )
+    return batch_solver.solve(input_values, stats=stats)
+
+
 def _extract_indices(witness_map: WitnessMap, indices: List[Witness]) -> WitnessMap:
     extracted = WitnessMap()
     for witness in indices:
@@ -209,6 +237,7 @@ __all__ = [
     "create_black_box_solver",
     "decompress_witness",
     "execute_circuit",
+    "execute_circuit_batched",
     "get_public_parameters_witness",
     "get_public_witness",
     "get_return_witness",

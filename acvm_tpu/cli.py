@@ -65,7 +65,14 @@ def cmd_execute(args):
 
 
 def cmd_solve(args):
-    from .tpu import BatchSolver, plan_circuit
+    from .config import EngineConfig
+
+    config = EngineConfig(
+        field=args.field,
+        batch_size=args.batch,
+        device_hash_kernels=not args.no_device_hash,
+        device_brillig_trace=not args.no_device_brillig,
+    )
 
     mesh = None
     if getattr(args, "distributed", False):
@@ -85,9 +92,9 @@ def cmd_solve(args):
     initial = _witness_map_from_json(args.witness_json or "{}")
     assignment = {int(w): int(v) for w, v in initial}
 
-    plan = plan_circuit(circuit, input_witnesses=list(assignment))
-    solver = BatchSolver(plan, mesh=mesh)
-    result = solver.solve([assignment] * args.batch)
+    plan = config.plan(circuit, input_witnesses=list(assignment))
+    solver = config.solver(plan, mesh=mesh)
+    result = solver.solve([assignment] * config.batch_size)
     ok = result.ok
     print(
         json.dumps(
@@ -105,11 +112,11 @@ def cmd_solve(args):
 
 def cmd_compile(args):
     from .acir.serialization import serialize_circuit
-    from .compiler import PLONKCSat, R1CS, compile as acvm_compile
+    from .config import EngineConfig
 
+    config = EngineConfig(language=args.language, width=args.width)
     circuit = _load_circuit(args.circuit)
-    language = R1CS() if args.language == "r1cs" else PLONKCSat(args.width)
-    compiled, _ = acvm_compile(circuit, language, lambda op: True)
+    compiled, _ = config.compile(circuit, lambda op: True)
     data = serialize_circuit(compiled)
     with open(args.output, "wb") as f:
         f.write(data)
@@ -181,6 +188,15 @@ def main(argv=None):
     p.add_argument(
         "--distributed", action="store_true",
         help="jax.distributed multi-host launch (run on every host)",
+    )
+    p.add_argument("--field", choices=["bn254", "bls12_381"], default="bn254")
+    p.add_argument(
+        "--no-device-hash", action="store_true",
+        help="route hash gadgets through the host-stage path",
+    )
+    p.add_argument(
+        "--no-device-brillig", action="store_true",
+        help="route straight-line Brillig through the host VM",
     )
     p.set_defaults(fn=cmd_solve)
 

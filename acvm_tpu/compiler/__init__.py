@@ -72,12 +72,13 @@ def compile(
     acir: Circuit,
     np_language,
     is_opcode_supported: Callable[[ops.Opcode], bool],
+    enable_hash_fallbacks: bool = True,
 ) -> Tuple[Circuit, AcirTransformationMap]:
     acir_opcode_positions = list(range(len(acir.opcodes)))
 
     # Fallback pass.
     acir, acir_opcode_positions = fallback_pass.transform(
-        acir, is_opcode_supported, acir_opcode_positions
+        acir, is_opcode_supported, acir_opcode_positions, enable_hash_fallbacks
     )
 
     # General optimizer pass (arithmetic opcodes only).

@@ -41,6 +41,7 @@ def transform(
     circuit: Circuit,
     is_supported: Callable[[ops.Opcode], bool],
     opcode_positions: List[int],
+    enable_hash_fallbacks: bool = True,
 ) -> Tuple[Circuit, List[int]]:
     supported_opcodes: List[ops.Opcode] = []
     new_positions: List[int] = []
@@ -68,7 +69,9 @@ def transform(
             new_positions.append(opcode_positions[idx])
             supported_opcodes.append(opcode)
             continue
-        witness_idx, fallback_opcodes = _opcode_fallback(opcode.call, witness_idx)
+        witness_idx, fallback_opcodes = _opcode_fallback(
+            opcode.call, witness_idx, enable_hash_fallbacks
+        )
         new_positions.extend([opcode_positions[idx]] * len(fallback_opcodes))
         supported_opcodes.extend(fallback_opcodes)
 
@@ -85,8 +88,21 @@ def transform(
     )
 
 
-def _opcode_fallback(call: ops.BlackBoxFuncCall, witness_idx: int):
+def _opcode_fallback(
+    call: ops.BlackBoxFuncCall,
+    witness_idx: int,
+    enable_hash_fallbacks: bool = True,
+):
     from ..stdlib import logic_fallbacks
+
+    if not enable_hash_fallbacks and isinstance(
+        call,
+        (ops.BBSha256, ops.BBBlake2s, ops.BBKeccak256, ops.BBHashToField128Security),
+    ):
+        # Mirrors the reference's `unstable-fallbacks` cargo feature: with the
+        # feature off, hash gadgets have no gate expansion
+        # (compiler/transformers/fallback.rs:107-162).
+        raise UnsupportedBlackBox(call.get_black_box_func())
 
     if isinstance(call, ops.BBAnd):
         assert call.lhs.num_bits == call.rhs.num_bits, (

@@ -52,5 +52,46 @@ class EngineConfig:
             return PLONKCSat(self.width)
         raise ValueError(f"unknown language {self.language!r}")
 
+    # -- construction hub -----------------------------------------------------
+    def compile(self, circuit, is_opcode_supported=None):
+        """Run the backend-targeting compiler under this config (language,
+        width, hash-fallback policy)."""
+        from .compiler import compile as acvm_compile, default_is_opcode_supported
+
+        language = self.language_object()
+        if is_opcode_supported is None:
+            is_opcode_supported = default_is_opcode_supported(language)
+        return acvm_compile(
+            circuit,
+            language,
+            is_opcode_supported,
+            enable_hash_fallbacks=self.enable_hash_fallbacks,
+        )
+
+    def plan(self, circuit, input_witnesses=None):
+        from .tpu.planner import plan_circuit
+
+        return plan_circuit(circuit, input_witnesses, config=self)
+
+    def make_mesh(self):
+        """Build the jax.sharding.Mesh described by mesh_shape, or None."""
+        if self.mesh_shape is None:
+            return None
+        import numpy as np
+        import jax
+        from jax.sharding import Mesh
+
+        n = 1
+        for d in self.mesh_shape:
+            n *= d
+        devices = np.asarray(jax.devices()[:n]).reshape(self.mesh_shape)
+        return Mesh(devices, self.mesh_axis_names[: len(self.mesh_shape)])
+
+    def solver(self, plan, **kwargs):
+        from .tpu.batch_solver import BatchSolver
+
+        kwargs.setdefault("mesh", self.make_mesh())
+        return BatchSolver(plan, **kwargs)
+
 
 DEFAULT_CONFIG = EngineConfig()

@@ -128,14 +128,30 @@ class FieldElement:
     def _wrap(self, v: int) -> "FieldElement":
         return FieldElement(v, self.params)
 
+    def _join(self, other: "FieldElement") -> FieldParams:
+        """Params for a binary op.  The reference fixes the field at compile
+        time, so genuinely mixed-field arithmetic cannot exist; here default
+        constructions (``Expression()``'s q_c, solver accumulators) start as
+        BN254 zeros, so a zero-valued operand adopts the other side's field.
+        Non-zero cross-field operands are a real bug — fail loudly."""
+        if self.params.modulus == other.params.modulus:
+            return self.params
+        if self.value == 0:
+            return other.params
+        if other.value == 0:
+            return self.params
+        raise ValueError(
+            f"mixed-field arithmetic: {self.params.name} vs {other.params.name}"
+        )
+
     def __add__(self, other: "FieldElement") -> "FieldElement":
-        return self._wrap(self.value + other.value)
+        return FieldElement(self.value + other.value, self._join(other))
 
     def __sub__(self, other: "FieldElement") -> "FieldElement":
-        return self._wrap(self.value - other.value)
+        return FieldElement(self.value - other.value, self._join(other))
 
     def __mul__(self, other: "FieldElement") -> "FieldElement":
-        return self._wrap(self.value * other.value)
+        return FieldElement(self.value * other.value, self._join(other))
 
     def __neg__(self) -> "FieldElement":
         return self._wrap(-self.value)

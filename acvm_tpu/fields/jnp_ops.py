@@ -206,6 +206,51 @@ class LimbContext:
         is_zero = jnp.all(a == 0, axis=-1, keepdims=True)
         return jnp.where(is_zero, jnp.zeros_like(acc), acc)
 
+    def mont_batch_inv(self, a: jnp.ndarray, axis: int = -2) -> jnp.ndarray:
+        """Montgomery's batch-inversion trick along ``axis``: log-depth
+        prefix/suffix product scans amortize ONE Fermat chain over the whole
+        axis (~(4·G + 380/G)·B montmuls instead of ~380·G·B for G values per
+        instance).  Zero maps to zero, matching ``mont_inv``.
+
+        The scan axis should be a per-instance axis (gates per level, group
+        chunks), never the sharded batch axis — cross-element products along
+        a mesh-sharded axis would compile to collectives.
+        """
+        if a.shape[axis] == 1:
+            return self.mont_inv(a)
+        a_m = jnp.moveaxis(a, axis, 0)  # (G, ..., L)
+        is_zero = jnp.all(a_m == 0, axis=-1, keepdims=True)
+        one = jnp.broadcast_to(self.r_limbs, a_m.shape).astype(jnp.uint32)
+        b = jnp.where(is_zero, one, a_m)
+        prefix = jax.lax.associative_scan(self.mont_mul, b, axis=0)
+        suffix = jax.lax.associative_scan(self.mont_mul, b, axis=0, reverse=True)
+        total_inv = self.mont_inv(prefix[-1])  # (..., L)
+        # inv[i] = prefix[i-1] * suffix[i+1] * total_inv  (empty product = one)
+        pre = jnp.concatenate([one[:1], prefix[:-1]], axis=0)
+        suf = jnp.concatenate([suffix[1:], one[:1]], axis=0)
+        inv = self.mont_mul(self.mont_mul(pre, suf), total_inv[None])
+        inv = jnp.where(is_zero, jnp.zeros_like(inv), inv)
+        return jnp.moveaxis(inv, 0, axis)
+
+    def mont_inv_grouped(self, a: jnp.ndarray, group: int = 32) -> jnp.ndarray:
+        """Batch-invert a flat (..., L) array by folding the trailing batch
+        axis into groups of up to ``group`` and amortizing one Fermat chain
+        per group (see ``mont_batch_inv``).  Picks the largest power of two
+        ≤ ``group`` that divides the axis so no padding (and, under a mesh,
+        no resharding) is ever needed; falls back to plain inversion when the
+        axis is odd or too small."""
+        if a.ndim < 2:
+            return self.mont_inv(a)
+        n = a.shape[-2]
+        g = 1
+        while g < group and n % (g * 2) == 0:
+            g *= 2
+        if g == 1:
+            return self.mont_inv(a)
+        folded = a.reshape(a.shape[:-2] + (n // g, g, NUM_LIMBS))
+        inv = self.mont_batch_inv(folded, axis=-2)
+        return inv.reshape(a.shape)
+
     def mont_div(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         return self.mont_mul(a, self.mont_inv(b))
 

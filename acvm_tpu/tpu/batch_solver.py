@@ -53,6 +53,21 @@ from .planner import (
 
 MASK16 = (1 << LIMB_BITS) - 1
 
+# Per-instance first-failure sentinel: "no failure yet".  The batch path's
+# analogue of the reference's located errors (acvm/src/pwg/mod.rs:282-299):
+# every kernel that can flip an instance's ok flag also records the smallest
+# failing opcode index, which BatchResult resolves to an OpcodeLocation +
+# assert message.
+FAIL_NONE = np.int32(2**31 - 1)
+
+
+def note_failures(fail: jnp.ndarray, bad: jnp.ndarray, op_idx) -> jnp.ndarray:
+    """Fold per-gate failure flags into the per-instance first-failure index.
+
+    fail: (B,) int32; bad: (B, G) bool; op_idx: (G,) opcode indices."""
+    cand = jnp.where(bad, jnp.asarray(op_idx, jnp.int32)[None], FAIL_NONE)
+    return jnp.minimum(fail, cand.min(axis=1))
+
 
 # ---------------------------------------------------------------------------
 # Packing (host, numpy)
@@ -173,28 +188,35 @@ def run_arith_solve_static(ctx, W, ok, buf):
     return W.at[:, buf["u_idx"]].set(val), ok
 
 
-def run_arith_solve_dyn(ctx, W, ok, buf):
+def run_arith_solve_dyn(ctx, W, ok, fail, buf):
     num = eval_exprs(ctx, W, buf["num"])
     den = eval_exprs(ctx, W, buf["den"])
     den_zero = ctx.is_zero(den)
     num_zero = ctx.is_zero(num)
-    inv_m = ctx.mont_inv(ctx.to_mont(den))  # den^-1 * R
+    # One Fermat chain amortized over the level's gate axis (Montgomery's
+    # trick) instead of a 254-squaring chain per gate.
+    inv_m = ctx.mont_batch_inv(ctx.to_mont(den), axis=1)  # den^-1 * R
     val = ctx.mont_mul(ctx.neg(num), inv_m)  # -num/den
     val = jnp.where(den_zero[..., None], 0, val)
     # den == 0 & num != 0 -> unsatisfied (arithmetic.rs:46-54).
-    ok = ok & jnp.all(~den_zero | num_zero, axis=1)
-    return W.at[:, buf["u_idx"]].set(val), ok
+    bad = den_zero & ~num_zero
+    ok = ok & ~jnp.any(bad, axis=1)
+    fail = note_failures(fail, bad, buf["op_idx"])
+    return W.at[:, buf["u_idx"]].set(val), ok, fail
 
 
-def run_arith_check(ctx, W, ok, buf):
+def run_arith_check(ctx, W, ok, fail, buf):
     val = eval_exprs(ctx, W, buf["expr"])
-    return W, ok & jnp.all(ctx.is_zero(val), axis=1)
+    bad = ~ctx.is_zero(val)
+    fail = note_failures(fail, bad, buf["op_idx"])
+    return W, ok & ~jnp.any(bad, axis=1), fail
 
 
-def run_range(ctx, W, ok, buf):
+def run_range(ctx, W, ok, fail, buf):
     vals = jnp.take(W, buf["w_idx"], axis=1)  # (B, G, L)
-    bad = jnp.any((vals & buf["zero_mask"][None]) != 0, axis=(-1, -2))
-    return W, ok & ~bad
+    bad = jnp.any((vals & buf["zero_mask"][None]) != 0, axis=-1)  # (B, G)
+    fail = note_failures(fail, bad, buf["op_idx"])
+    return W, ok & ~jnp.any(bad, axis=1), fail
 
 
 def run_logic(ctx, W, ok, buf, is_xor):
@@ -218,12 +240,13 @@ def run_quotient(ctx, W, ok, buf):
     return W, ok
 
 
-def run_to_le_radix(ctx, W, ok, buf):
+def run_to_le_radix(ctx, W, ok, fail, buf):
     vals = eval_exprs(ctx, W, buf["value"])  # (B, G, L)
     # Capacity check: digits beyond the provided witnesses must be zero
     # (directives/mod.rs:67-71).
-    bad = jnp.any((vals & buf["overflow_mask"][None]) != 0, axis=(-1, -2))
-    ok = ok & ~bad
+    bad = jnp.any((vals & buf["overflow_mask"][None]) != 0, axis=-1)  # (B, G)
+    fail = note_failures(fail, bad, buf["op_idx"])
+    ok = ok & ~jnp.any(bad, axis=1)
     dvals = jnp.take(vals, buf["d_gate"], axis=1)  # (B, D, L)
     lo = jnp.take_along_axis(
         dvals, buf["d_limb"][None, :, None], axis=-1
@@ -236,10 +259,10 @@ def run_to_le_radix(ctx, W, ok, buf):
     digits = word & buf["d_mask"][None]
     out = jnp.zeros(digits.shape + (NUM_LIMBS,), dtype=jnp.uint32)
     out = out.at[..., 0].set(digits)
-    return W.at[:, buf["out_idx"]].set(out), ok
+    return W.at[:, buf["out_idx"]].set(out), ok, fail
 
 
-def run_hashes(ctx, W, ok, buf):
+def run_hashes(ctx, W, ok, fail, buf):
     """Batched 256-bit hash gadgets; one call per (kind, message length) group."""
     from . import gadgets
 
@@ -257,6 +280,7 @@ def run_hashes(ctx, W, ok, buf):
         # (blackbox/hash.rs:70-82); here the instance flag flips.
         bad = jnp.any(size_vals[..., 2:] != 0, axis=-1) | (length > M)
         ok = ok & jnp.all(~bad, axis=1)
+        fail = note_failures(fail, bad, buf["op_idx"])
         length = jnp.minimum(length, M)
         digest = gadgets.keccak256_var_digest(
             message.reshape(B * G, M), length.reshape(B * G)
@@ -270,10 +294,10 @@ def run_hashes(ctx, W, ok, buf):
         digest = digest_fn(message.reshape(B * G, M)).reshape(B, G, 32)
     out = jnp.zeros((B, G, 32, NUM_LIMBS), dtype=jnp.uint32)
     out = out.at[..., 0].set(digest)
-    return W.at[:, buf["out_idx"]].set(out.reshape(B, G * 32, NUM_LIMBS)), ok
+    return W.at[:, buf["out_idx"]].set(out.reshape(B, G * 32, NUM_LIMBS)), ok, fail
 
 
-def run_ec_fixed_base(ctx, W, ok, buf):
+def run_ec_fixed_base(ctx, W, ok, fail, buf):
     """Batched windowed fixed-base Grumpkin scalar multiplication."""
     from . import ec
 
@@ -290,6 +314,7 @@ def run_ec_fixed_base(ctx, W, ok, buf):
     in_range = ~_geq(scalar, buf["order_limbs"])
     valid = fits & in_range  # (B, G)
     ok = ok & jnp.all(valid, axis=1)
+    fail = note_failures(fail, ~valid, buf["op_idx"])
 
     flat = scalar.reshape(B * G, NUM_LIMBS)
     point = ec.fixed_base_mul(ctx, buf["table"], flat)
@@ -298,7 +323,7 @@ def run_ec_fixed_base(ctx, W, ok, buf):
     ay = jnp.where(valid.reshape(B * G, 1), ay, 0).reshape(B, G, NUM_LIMBS)
     W = W.at[:, buf["out_x"]].set(ax)
     W = W.at[:, buf["out_y"]].set(ay)
-    return W, ok
+    return W, ok, fail
 
 
 def run_ec_pedersen(ctx, W, ok, gate_buf):
@@ -343,7 +368,7 @@ def run_schnorr(ctx, W, ok, buf):
     return W.at[:, buf["out_idx"]].set(out), ok
 
 
-def run_ecdsa(ctx, W, ok, buf):
+def run_ecdsa(ctx, W, ok, fail, buf):
     """Grouped ECDSA verifications on one curve (device limb kernels)."""
     from . import ecdsa as ecdsa_dev
 
@@ -366,10 +391,12 @@ def run_ecdsa(ctx, W, ok, buf):
     valid = valid.reshape(B, G)
     # The host path raises BlackBoxFunctionFailed on these (reference panics);
     # the batched analogue flips the instance flag.
-    ok = ok & jnp.all(~err.reshape(B, G), axis=1)
+    err = err.reshape(B, G)
+    ok = ok & jnp.all(~err, axis=1)
+    fail = note_failures(fail, err, buf["op_idx"])
     out = jnp.zeros((B, G, NUM_LIMBS), dtype=jnp.uint32)
     out = out.at[..., 0].set(valid.astype(jnp.uint32))
-    return W.at[:, buf["out_idx"]].set(out), ok
+    return W.at[:, buf["out_idx"]].set(out), ok, fail
 
 
 def run_memory_init(ctx, W, ok, mem, buf):
@@ -381,23 +408,25 @@ def run_memory_init(ctx, W, ok, mem, buf):
     return W, ok, mem
 
 
-def _expr_to_u32_index(ctx, val, ok):
+def _expr_to_u32_index(ctx, val):
     """Convert an evaluated field value (B, 1, L) to a u32 index; values that
-    do not fit flip the ok flag (the reference panics on try_to_u64 failure)."""
+    do not fit are failures (the reference panics on try_to_u64 failure)."""
     idx = val[..., 0, 0] | (val[..., 0, 1] << LIMB_BITS)
     too_big = jnp.any(val[..., 0, 2:] != 0, axis=-1)
-    return idx, ok & ~too_big
+    return idx, too_big
 
 
-def run_memory_op(ctx, W, ok, mem, buf):
+def run_memory_op(ctx, W, ok, fail, mem, buf):
     block = mem[buf["block_key"]]
     size = block.shape[1]
     idx_val = eval_exprs(ctx, W, buf["index"])  # (B, 1, L)
-    idx, ok = _expr_to_u32_index(ctx, idx_val, ok)
+    idx, too_big = _expr_to_u32_index(ctx, idx_val)
     pred = eval_exprs(ctx, W, buf["pred"])
     active = ~ctx.is_zero(pred)[:, 0]  # (B,)
     in_bounds = idx < size
-    ok = ok & (in_bounds | ~active)
+    bad = too_big | (~in_bounds & active)  # (B,)
+    ok = ok & ~bad
+    fail = note_failures(fail, bad[:, None], [buf["op_idx"]])
     idx_c = jnp.minimum(idx, size - 1)
     batch = jnp.arange(W.shape[0])
     if buf["is_read"]:
@@ -411,7 +440,7 @@ def run_memory_op(ctx, W, ok, mem, buf):
         block = block.at[batch, idx_c].set(newv)
         mem = dict(mem)
         mem[buf["block_key"]] = block
-    return W, ok, mem
+    return W, ok, fail, mem
 
 
 def run_brillig(ctx, W, ok, stage: BrilligTraceStage, packs):
@@ -496,6 +525,9 @@ class BatchSolver:
             packed["arith_dyn"] = dict(
                 num=pack_exprs([g.num for g in dyn_gates]),
                 u_idx=np.asarray([g.unknown for g in dyn_gates], np.int32),
+                op_idx=np.asarray(
+                    [g.opcode_index for g in dyn_gates], np.int32
+                ),
                 # The denominator is itself an expression panel: qc=den_const,
                 # linear terms = the mul-term partners.
                 den=dict(
@@ -511,7 +543,10 @@ class BatchSolver:
         if level.arith_check:
             packed["kinds"].append("arith_check")
             packed["arith_check"] = dict(
-                expr=pack_exprs([g.expr for g in level.arith_check])
+                expr=pack_exprs([g.expr for g in level.arith_check]),
+                op_idx=np.asarray(
+                    [g.opcode_index for g in level.arith_check], np.int32
+                ),
             )
         if level.range_checks:
             packed["kinds"].append("range")
@@ -519,6 +554,9 @@ class BatchSolver:
                 w_idx=np.asarray([g.witness for g in level.range_checks], np.int32),
                 zero_mask=np.stack(
                     [_range_zero_mask(g.num_bits) for g in level.range_checks]
+                ),
+                op_idx=np.asarray(
+                    [g.opcode_index for g in level.range_checks], np.int32
                 ),
             )
         for is_xor, name in ((False, "and"), (True, "xor")):
@@ -561,6 +599,7 @@ class BatchSolver:
             d_limb = np.asarray(d_limb, np.int32)
             packed["to_le_radix"] = dict(
                 value=pack_exprs([g.a for g in gates]),
+                op_idx=np.asarray([g.opcode_index for g in gates], np.int32),
                 d_gate=np.asarray(d_gate, np.int32),
                 d_limb=d_limb,
                 d_limb_hi=np.minimum(d_limb + 1, NUM_LIMBS - 1),
@@ -598,6 +637,9 @@ class BatchSolver:
                         src_shift=src_shift,
                         out_idx=out_idx.reshape(-1),
                         size_w=size_w,
+                        op_idx=np.asarray(
+                            [g.opcode_index for g in gates], np.int32
+                        ),
                     )
                 )
             packed["kinds"].append("hashes")
@@ -610,6 +652,7 @@ class BatchSolver:
             packed["kinds"].append("ec_fixed_base")
             packed["ec_fixed_base"] = dict(
                 low_idx=np.asarray([g.low for g in gates], np.int32),
+                op_idx=np.asarray([g.opcode_index for g in gates], np.int32),
                 high_idx=np.asarray([g.high for g in gates], np.int32),
                 out_x=np.asarray([g.out_x for g in gates], np.int32),
                 out_y=np.asarray([g.out_y for g in gates], np.int32),
@@ -680,6 +723,9 @@ class BatchSolver:
             packed["ecdsa"] = [
                 dict(
                     curve=curve,
+                    op_idx=np.asarray(
+                        [g.opcode_index for g in gates], np.int32
+                    ),
                     pub_x=np.asarray([g.pub_x for g in gates], np.int32),
                     pub_y=np.asarray([g.pub_y for g in gates], np.int32),
                     sig=np.asarray([g.signature for g in gates], np.int32),
@@ -711,6 +757,7 @@ class BatchSolver:
                         dict(
                             kind="op",
                             block_key=str(st.block_id),
+                            op_idx=int(st.opcode_index),
                             is_read=st.is_read,
                             index=pack_exprs([st.index]),
                             pred=pack_exprs([st.predicate or one]),
@@ -755,28 +802,28 @@ class BatchSolver:
         return segments
 
     # -- device execution ---------------------------------------------------
-    def _run_level(self, W, ok, mem, packed):
+    def _run_level(self, W, ok, fail, mem, packed):
         ctx = self.ctx
         for kind in packed["kinds"]:
             if kind == "arith_static":
                 W, ok = run_arith_solve_static(ctx, W, ok, packed[kind])
             elif kind == "arith_dyn":
-                W, ok = run_arith_solve_dyn(ctx, W, ok, packed[kind])
+                W, ok, fail = run_arith_solve_dyn(ctx, W, ok, fail, packed[kind])
             elif kind == "arith_check":
-                W, ok = run_arith_check(ctx, W, ok, packed[kind])
+                W, ok, fail = run_arith_check(ctx, W, ok, fail, packed[kind])
             elif kind == "range":
-                W, ok = run_range(ctx, W, ok, packed[kind])
+                W, ok, fail = run_range(ctx, W, ok, fail, packed[kind])
             elif kind in ("and", "xor"):
                 W, ok = run_logic(ctx, W, ok, packed[kind], kind == "xor")
             elif kind == "quotient":
                 W, ok = run_quotient(ctx, W, ok, packed[kind])
             elif kind == "to_le_radix":
-                W, ok = run_to_le_radix(ctx, W, ok, packed[kind])
+                W, ok, fail = run_to_le_radix(ctx, W, ok, fail, packed[kind])
             elif kind == "hashes":
                 for hash_pack in packed["hashes"]:
-                    W, ok = run_hashes(ctx, W, ok, hash_pack)
+                    W, ok, fail = run_hashes(ctx, W, ok, fail, hash_pack)
             elif kind == "ec_fixed_base":
-                W, ok = run_ec_fixed_base(ctx, W, ok, packed[kind])
+                W, ok, fail = run_ec_fixed_base(ctx, W, ok, fail, packed[kind])
             elif kind == "ec_pedersen":
                 for gate_buf in packed["ec_pedersen"]:
                     W, ok = run_ec_pedersen(ctx, W, ok, gate_buf)
@@ -785,7 +832,7 @@ class BatchSolver:
                     W, ok = run_schnorr(ctx, W, ok, schnorr_buf)
             elif kind == "ecdsa":
                 for ecdsa_buf in packed["ecdsa"]:
-                    W, ok = run_ecdsa(ctx, W, ok, ecdsa_buf)
+                    W, ok, fail = run_ecdsa(ctx, W, ok, fail, ecdsa_buf)
             elif kind == "zero_out":
                 idx = packed["zero_out"]["idx"]
                 W = W.at[:, idx].set(0)
@@ -794,13 +841,15 @@ class BatchSolver:
                     if st["kind"] == "init":
                         W, ok, mem = run_memory_init(ctx, W, ok, mem, st)
                     else:
-                        W, ok, mem = run_memory_op(ctx, W, ok, mem, st)
+                        W, ok, fail, mem = run_memory_op(
+                            ctx, W, ok, fail, mem, st
+                        )
             elif kind == "brillig":
                 for stage, packs in packed["brillig"]:
                     W, ok = run_brillig(ctx, W, ok, stage, packs)
             else:
                 raise AssertionError(kind)
-        return W, ok, mem
+        return W, ok, fail, mem
 
     def _pad_static_level(self, buf: dict, to: int) -> dict:
         """Pad an arith_static pack's gate axis to ``to``: zero coefficients
@@ -878,7 +927,7 @@ class BatchSolver:
             ctx = self.ctx
 
             @jax.jit
-            def run(W, ok, mem):
+            def run(W, ok, fail, mem):
                 for kind, item in groups:
                     if kind == "scan":
                         stacked = jax.tree_util.tree_map(
@@ -892,28 +941,33 @@ class BatchSolver:
 
                         (W, ok), _ = jax.lax.scan(body, (W, ok), stacked)
                     else:
-                        W, ok, mem = self._run_level(W, ok, mem, item)
-                return W, ok, mem
+                        W, ok, fail, mem = self._run_level(W, ok, fail, mem, item)
+                return W, ok, fail, mem
 
             fn = run
             self._segment_fns[seg_index] = fn
         return fn
 
     # -- host stages ---------------------------------------------------------
-    def _run_host_stages(self, W, ok, stages: List[HostStage]):
+    def _run_host_stages(self, W, ok, fail, stages: List[HostStage]):
         from ..pwg import blackbox as bb_dispatch
         from ..pwg.brillig_solver import BrilligSolver
         from ..pwg.directives import solve_directives
 
         W_np = np.asarray(W)
         ok_np = np.asarray(ok).copy()
+        fail_np = np.asarray(fail).copy()
         B = W_np.shape[0]
 
-        # Columns worth materializing as Python ints.
+        # Columns worth materializing as Python ints: only the witnesses the
+        # stage's opcodes actually read.  (known_before — every witness known
+        # at earlier levels — can be nearly the whole panel; pulling it to the
+        # host made one PermutationSort in a big circuit cost B × num_witnesses
+        # Python conversions.)
         needed = set()
         writes = set()
         for stage in stages:
-            needed.update(stage.known_before)
+            needed.update(stage.reads if stage.reads else stage.known_before)
             writes.update(stage.writes)
         cols = sorted(needed)
         col_pos = {w: i for i, w in enumerate(cols)}
@@ -966,6 +1020,7 @@ class BatchSolver:
                             raise AssertionError(opcode)
                     except OpcodeResolutionError:
                         ok_np[b] = False
+                        fail_np[b] = min(fail_np[b], op_index)
                         continue
                 for w in stage.writes:
                     value = wm.get(Witness(w))
@@ -981,11 +1036,13 @@ class BatchSolver:
             W = jnp.asarray(W).at[:, np.asarray(write_cols, np.int32)].set(
                 jnp.asarray(limbs)
             )
-        return W, jnp.asarray(ok_np)
+        return W, jnp.asarray(ok_np), jnp.asarray(fail_np)
 
     # -- public API ----------------------------------------------------------
     def initial_state(self, input_values: Sequence[Dict[int, int]]):
-        """Build (W, ok, mem) from per-instance {witness_index: int} dicts."""
+        """Build (W, ok, fail, mem) from per-instance {witness_index: int}
+        dicts.  ``fail`` starts at the FAIL_NONE sentinel and tracks the first
+        failing opcode index per instance."""
         B = len(input_values)
         # One scratch column past the real witnesses receives the scatter
         # writes of shape-padding gates (see _pad_static_level).
@@ -994,6 +1051,7 @@ class BatchSolver:
             for w, v in assignment.items():
                 W[b, int(w)] = _limbs_of(int(v) % self.plan.params.modulus)
         ok = np.ones((B,), dtype=bool)
+        fail = np.full((B,), FAIL_NONE, dtype=np.int32)
         mem = {
             str(block_id): np.zeros((B, size, NUM_LIMBS), dtype=np.uint32)
             for block_id, size in self.plan.memory_block_sizes.items()
@@ -1001,6 +1059,7 @@ class BatchSolver:
         state = (
             jnp.asarray(W),
             jnp.asarray(ok),
+            jnp.asarray(fail),
             {k: jnp.asarray(v) for k, v in mem.items()},
         )
         if self.mesh is not None:
@@ -1016,29 +1075,61 @@ class BatchSolver:
             stats.batch = len(input_values)
             stats.total_ops = self.plan.total_ops()
         with Timer() as t_pack:
-            W, ok, mem = self.initial_state(input_values)
+            W, ok, fail, mem = self.initial_state(input_values)
         if stats is not None:
             stats.pack_seconds = t_pack.elapsed
         for i, segment in enumerate(self.segments):
             if segment.levels:
                 with Timer() as t_seg:
-                    W, ok, mem = self._segment_fn(i)(W, ok, mem)
+                    W, ok, fail, mem = self._segment_fn(i)(W, ok, fail, mem)
                     W.block_until_ready()
                 if stats is not None:
                     stats.segment_seconds.append(t_seg.elapsed)
             if segment.host_stages:
                 with Timer() as t_host:
-                    W, ok = self._run_host_stages(W, ok, segment.host_stages)
+                    W, ok, fail = self._run_host_stages(
+                        W, ok, fail, segment.host_stages
+                    )
                 if stats is not None:
                     stats.host_stage_seconds.append(t_host.elapsed)
-        return BatchResult(self, np.asarray(W), np.asarray(ok))
+        return BatchResult(
+            self, np.asarray(W), np.asarray(ok), np.asarray(fail)
+        )
 
 
 class BatchResult:
-    def __init__(self, solver: BatchSolver, W: np.ndarray, ok: np.ndarray):
+    def __init__(
+        self,
+        solver: BatchSolver,
+        W: np.ndarray,
+        ok: np.ndarray,
+        fail: Optional[np.ndarray] = None,
+    ):
         self.solver = solver
         self.W = W
         self.ok = ok
+        if fail is None:
+            fail = np.where(ok, FAIL_NONE, 0).astype(np.int32)
+        # First failing opcode index per instance (FAIL_NONE when satisfied).
+        self.fail = fail
+
+    def error_location(self, instance: int):
+        """OpcodeLocation of the first failing opcode for one instance, or
+        None if it solved — mirrors the reference's located errors
+        (acvm/src/pwg/mod.rs:282-299)."""
+        from ..acir.circuit import OpcodeLocation
+
+        index = int(self.fail[instance])
+        if index == int(FAIL_NONE):
+            return None
+        return OpcodeLocation.acir(index)
+
+    def error_message(self, instance: int) -> Optional[str]:
+        """Circuit-embedded assert message for the failing opcode, if any."""
+        location = self.error_location(instance)
+        if location is None:
+            return None
+        return self.solver.plan.circuit.get_assert_message(location)
 
     def witness_ints(self, witness_index: int) -> List[int]:
         col = self.W[:, witness_index].astype(object)

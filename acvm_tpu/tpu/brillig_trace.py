@@ -59,7 +59,7 @@ def _field_binary(ctx: LimbContext, op: br.BinaryFieldOp, a, b):
     if op == br.BinaryFieldOp.Div:
         # a / b in standard form: (aR) * (b^-1 R) * R^-1 = a b^-1 R, then strip R.
         num_m = ctx.to_mont(a)
-        inv_m = ctx.mont_inv(ctx.to_mont(b))
+        inv_m = ctx.mont_inv_grouped(ctx.to_mont(b))
         return ctx.from_mont(ctx.mont_mul(num_m, inv_m))
     if op == br.BinaryFieldOp.Equals:
         eq = ctx.eq(a, b)

@@ -136,7 +136,7 @@ def pt_add(ctx: LimbContext, p, q, a_mont=None):
 def pt_to_affine(ctx: LimbContext, p):
     """Returns standard-form affine (x, y); infinity maps to (0, 0)."""
     x, y, z = p
-    zinv = ctx.mont_inv(z)  # zero stays zero at infinity
+    zinv = ctx.mont_inv_grouped(z)  # zero stays zero at infinity
     zinv2 = ctx.mont_mul(zinv, zinv)
     zinv3 = ctx.mont_mul(zinv2, zinv)
     ax = ctx.from_mont(ctx.mont_mul(x, zinv2))

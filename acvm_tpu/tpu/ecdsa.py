@@ -139,7 +139,7 @@ def ecdsa_verify_batched(
     high_s = _geq(s, _const(cp.n // 2 + 1))
 
     # u1 = z/s, u2 = r/s mod n.
-    s_inv = ctx_n.mont_inv(ctx_n.to_mont(s))  # s^-1 * R
+    s_inv = ctx_n.mont_inv_grouped(ctx_n.to_mont(s))  # s^-1 * R
     u1 = ctx_n.from_mont(ctx_n.mont_mul(ctx_n.to_mont(z), s_inv))
     u2 = ctx_n.from_mont(ctx_n.mont_mul(ctx_n.to_mont(r), s_inv))
 

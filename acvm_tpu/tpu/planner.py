@@ -49,6 +49,15 @@ class PlanError(Exception):
     pass
 
 
+def _expr_witnesses(expr: Expression) -> List[int]:
+    """Every witness an expression reads (linear and mul terms)."""
+    out = [int(w) for _, w in expr.linear_combinations]
+    for _, wl, wr in expr.mul_terms:
+        out.append(int(wl))
+        out.append(int(wr))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Plan IR
 # ---------------------------------------------------------------------------
@@ -302,9 +311,20 @@ _DEVICE_BRILLIG_OPS = (
 
 
 class _Planner:
-    def __init__(self, circuit: Circuit, known: Set[int], params: FieldParams):
+    def __init__(
+        self,
+        circuit: Circuit,
+        known: Set[int],
+        params: FieldParams,
+        device_hash_kernels: bool = True,
+        device_brillig_trace: bool = True,
+    ):
         self.circuit = circuit
         self.params = params
+        # EngineConfig kernel toggles: route hashes / straight-line Brillig to
+        # the host-stage path instead of device kernels (conformance bisection).
+        self.device_hash_kernels = device_hash_kernels
+        self.device_brillig_trace = device_brillig_trace
         self.p = params.modulus
         self.r = params.r
         self.r2 = params.r2
@@ -472,7 +492,7 @@ class _Planner:
             )
             self._mark_known(int(call.output), level_idx)
             return
-        if isinstance(
+        if self.device_hash_kernels and isinstance(
             call,
             (
                 ops.BBSha256,
@@ -628,10 +648,9 @@ class _Planner:
                     self._mark_known(int(w), level_idx)
                 return
             # General radix: host stage.
-            reads = [w for _, w in directive.a.linear_combinations]
             self._plan_host_stage_raw(
                 opcode_index,
-                [int(w) for w in reads],
+                _expr_witnesses(directive.a),
                 [int(w) for w in directive.b],
             )
             return
@@ -639,7 +658,7 @@ class _Planner:
             reads = []
             for tup in directive.inputs:
                 for e in tup:
-                    reads.extend(int(w) for _, w in e.linear_combinations)
+                    reads.extend(_expr_witnesses(e))
             self._plan_host_stage_raw(
                 opcode_index, reads, [int(w) for w in directive.bits]
             )
@@ -707,7 +726,9 @@ class _Planner:
     # -- brillig ------------------------------------------------------------
     def _plan_brillig(self, opcode_index: int, opcode: ops.OpcodeBrillig):
         b = opcode.brillig
-        device_ok = all(isinstance(o, _DEVICE_BRILLIG_OPS) for o in b.bytecode)
+        device_ok = self.device_brillig_trace and all(
+            isinstance(o, _DEVICE_BRILLIG_OPS) for o in b.bytecode
+        )
         reads: List[int] = []
         writes: List[int] = []
         for inp in b.inputs:
@@ -803,16 +824,27 @@ class _Planner:
 def plan_circuit(
     circuit: Circuit,
     input_witnesses: Optional[Sequence[int]] = None,
-    params: FieldParams = BN254_FR,
+    params: Optional[FieldParams] = None,
+    config=None,
 ) -> Plan:
     """Build a batched execution plan for ``circuit``.
 
     ``input_witnesses`` defaults to the circuit's declared arguments
     (private + public parameters), matching what an initial witness map for the
-    sequential engine must provide.
+    sequential engine must provide.  ``config`` (an
+    :class:`acvm_tpu.config.EngineConfig`) selects the field and the device
+    kernel toggles; an explicit ``params`` overrides the config's field.
     """
     if input_witnesses is None:
         known = {int(w) for w in circuit.circuit_arguments()}
     else:
         known = {int(w) for w in input_witnesses}
-    return _Planner(circuit, known, params).plan()
+    if params is None:
+        params = config.field_params() if config is not None else BN254_FR
+    kwargs = {}
+    if config is not None:
+        kwargs = dict(
+            device_hash_kernels=config.device_hash_kernels,
+            device_brillig_trace=config.device_brillig_trace,
+        )
+    return _Planner(circuit, known, params, **kwargs).plan()

@@ -90,7 +90,7 @@ def _solve_throughput(batch: int, levels: int, gates_per_level: int):
     fn = jax.jit(solver._segment_fn(0), donate_argnums=(0,))
 
     # Warm up / compile.
-    W, ok, mem = fn(*state)
+    W, ok, fail, mem = fn(*state)
     W.block_until_ready()
     assert bool(ok.all()), "benchmark circuit must be satisfiable"
 
@@ -121,7 +121,7 @@ def _solve_throughput(batch: int, levels: int, gates_per_level: int):
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        W, ok, mem = fn(W, ok, mem)
+        W, ok, fail, mem = fn(W, ok, fail, mem)
         W.block_until_ready()
         times.append(time.perf_counter() - t0)
     elapsed = min(times)
@@ -142,6 +142,12 @@ def main():
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 
     import jax  # noqa: F401  (initialize before the retry loop)
+
+    # sitecustomize imports jax before us, so env vars alone are too late.
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
     # OOM-resilient headline measurement: halve the batch until it fits.
     result = None

@@ -17,7 +17,20 @@ sys.path.insert(0, _repo_root)
 
 # Per-op eager dispatch is very slow in this environment; tests jit everything
 # and rely on the persistent compilation cache to amortize compiles across runs.
+# The ambient sitecustomize imports jax BEFORE conftest runs, so env vars are
+# too late — the cache must be enabled through jax.config (verified: env-only
+# setup never wrote a single cache entry).
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", os.path.join(_repo_root, ".jax_cache")
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+)
+jax.config.update(
+    "jax_persistent_cache_min_compile_time_secs",
+    float(os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"]),
+)

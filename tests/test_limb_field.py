@@ -116,3 +116,36 @@ def test_range_check():
     got = results()["ranges"]
     for row, bits in enumerate(RANGE_BITS):
         assert got[row].tolist() == [v < (1 << bits) for v in RANGE_VALS], bits
+
+
+def test_mont_batch_inv_matches_host():
+    """Montgomery-trick batch inversion == per-element Fermat == host pow."""
+    vals = rand_vals(24)  # includes 0, 1, p-1
+    expected = [pow(v, -1, P) if v else 0 for v in vals]
+
+    @jax.jit
+    def run(a):
+        am = CTX.to_mont(a)
+        grid = am.reshape(4, 6, -1)
+        return dict(
+            axis1=CTX.from_mont(CTX.mont_batch_inv(grid, axis=1)).reshape(24, -1),
+            axis0=CTX.from_mont(CTX.mont_batch_inv(grid, axis=0)).reshape(24, -1),
+            grouped=CTX.from_mont(CTX.mont_inv_grouped(am, group=8)),
+        )
+
+    out = run(jnp.asarray(ints_to_limbs(vals)))
+    assert limbs_to_ints(np.asarray(out["axis1"])) == expected
+    assert limbs_to_ints(np.asarray(out["axis0"])) == expected
+    assert limbs_to_ints(np.asarray(out["grouped"])) == expected
+
+
+def test_mont_inv_grouped_odd_length_falls_back():
+    vals = rand_vals(7)
+    expected = [pow(v, -1, P) if v else 0 for v in vals]
+
+    @jax.jit
+    def run(a):
+        return CTX.from_mont(CTX.mont_inv_grouped(CTX.to_mont(a)))
+
+    out = run(jnp.asarray(ints_to_limbs(vals)))
+    assert limbs_to_ints(np.asarray(out)) == expected

@@ -57,6 +57,14 @@ def create_black_box_solver() -> BlackBoxFunctionSolver:
     return GrumpkinSolver()
 
 
+def init_log_level(level: str) -> None:
+    """Set the package logging level (acvm_js/src/logging.rs ``initLogLevel``
+    analogue; levels OFF/ERROR/WARN/INFO/DEBUG/TRACE)."""
+    from .utils.logging import init_log_level as _init
+
+    _init(level)
+
+
 def build_info() -> dict:
     """Version / environment report (acvm_js/src/build_info.rs analogue)."""
     import jax

@@ -168,6 +168,11 @@ def cmd_bench(args):
 
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="acvm-tpu")
+    parser.add_argument(
+        "--log-level",
+        default="ERROR",
+        help="OFF/ERROR/WARN/INFO/DEBUG/TRACE (acvm_js initLogLevel analogue)",
+    )
     sub = parser.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("execute", help="sequential bit-exact witness generation")
@@ -217,6 +222,9 @@ def main(argv=None):
     p.set_defaults(fn=cmd_bench)
 
     args = parser.parse_args(argv)
+    from .utils.logging import init_log_level
+
+    init_log_level(args.log_level)
     args.fn(args)
 
 

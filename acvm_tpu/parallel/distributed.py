@@ -49,6 +49,26 @@ def initialize(
     jax.distributed.initialize(**kwargs)
 
 
+def initialize_from_env() -> None:
+    """Initialize this process as one rank of a job spawned by
+    ``launcher.launch_local`` (ACVM_TPU_* env vars).  With
+    ``ACVM_TPU_SIM_PLATFORM=cpu`` the rank switches to the virtual-CPU
+    platform and gloo cross-process collectives first — the local simulation
+    of a multi-host pod used by tests/test_distributed.py."""
+    platform = os.environ.get("ACVM_TPU_SIM_PLATFORM")
+    if platform and "axon" not in platform:
+        # The ambient sitecustomize registers the TPU plugin before user code
+        # runs, so the platform must be switched through jax.config.
+        jax.config.update("jax_platforms", platform)
+        if platform == "cpu":
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    initialize(
+        coordinator_address=os.environ["ACVM_TPU_COORDINATOR"],
+        num_processes=int(os.environ["ACVM_TPU_NUM_PROCESSES"]),
+        process_id=int(os.environ["ACVM_TPU_PROCESS_ID"]),
+    )
+
+
 def global_mesh(axis_name: str = "data"):
     """A 1-D mesh over every device in the (possibly multi-host) job."""
     return make_mesh(jax.devices(), axis_name)

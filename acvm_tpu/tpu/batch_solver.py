@@ -78,6 +78,19 @@ def _limbs_of(value: int) -> np.ndarray:
     return np.asarray(int_to_limbs(value), dtype=np.uint32)
 
 
+def _to_host_np(x) -> np.ndarray:
+    """Host numpy copy of a device array.  On a multi-process mesh the batch
+    shards live on different hosts, so non-fully-addressable arrays are
+    gathered first (every process then sees the full batch — what the
+    conformance-checking callers need; production pipelines keep results
+    sharded and slice with ``parallel.distributed.process_batch_slice``)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        x = multihost_utils.process_allgather(x, tiled=True)
+    return np.asarray(x)
+
+
 def pack_exprs(exprs: List[ExprPlan]) -> Dict[str, np.ndarray]:
     E = len(exprs)
     n = max((len(e.lin_idx) for e in exprs), default=0)
@@ -499,6 +512,19 @@ class BatchSolver:
         self.max_levels_per_segment = max_levels_per_segment
         self.segments = self._build_segments()
         self._segment_fns: Dict[int, Callable] = {}
+        from ..utils.logging import get_logger
+
+        self._log = get_logger("batch_solver")
+        self._log.info(
+            "plan: %d opcodes, %d witnesses, %d levels in %d segments "
+            "(%d host stages)%s",
+            len(plan.circuit.opcodes),
+            plan.num_witnesses,
+            len(plan.levels),
+            len(self.segments),
+            sum(len(s.host_stages) for s in self.segments),
+            f", mesh={tuple(mesh.shape.items())}" if mesh is not None else "",
+        )
 
     # -- packing ------------------------------------------------------------
     def _pack_level(self, level: Level) -> dict:
@@ -954,9 +980,9 @@ class BatchSolver:
         from ..pwg.brillig_solver import BrilligSolver
         from ..pwg.directives import solve_directives
 
-        W_np = np.asarray(W)
-        ok_np = np.asarray(ok).copy()
-        fail_np = np.asarray(fail).copy()
+        W_np = _to_host_np(W)
+        ok_np = _to_host_np(ok).copy()
+        fail_np = _to_host_np(fail).copy()
         B = W_np.shape[0]
 
         # Columns worth materializing as Python ints: only the witnesses the
@@ -1027,12 +1053,24 @@ class BatchSolver:
                     out_vals[b, wpos[w]] = int(value) if value is not None else 0
 
         # Push writes back as limb columns.
+        limbs = None
         if write_cols:
             limbs = np.zeros((B, len(write_cols), NUM_LIMBS), dtype=np.uint32)
             for li in range(NUM_LIMBS):
                 limbs[:, :, li] = (
                     (out_vals >> (LIMB_BITS * li)) & MASK16
                 ).astype(np.uint32)
+        if isinstance(W, jax.Array) and not W.is_fully_addressable:
+            # Multi-process mesh: a per-column device scatter would mix
+            # process-local update operands with a global array, so rebuild
+            # the panel from the gathered host copy and re-shard the batch
+            # axis over the mesh.
+            if limbs is not None:
+                W_np[:, write_cols] = limbs
+            from ..parallel import shard_batch
+
+            return shard_batch((W_np, ok_np, fail_np), self.mesh)
+        if limbs is not None:
             W = jnp.asarray(W).at[:, np.asarray(write_cols, np.int32)].set(
                 jnp.asarray(limbs)
             )
@@ -1083,6 +1121,10 @@ class BatchSolver:
                 with Timer() as t_seg:
                     W, ok, fail, mem = self._segment_fn(i)(W, ok, fail, mem)
                     W.block_until_ready()
+                self._log.debug(
+                    "segment %d: %d levels in %.3fs", i, len(segment.levels),
+                    t_seg.elapsed,
+                )
                 if stats is not None:
                     stats.segment_seconds.append(t_seg.elapsed)
             if segment.host_stages:
@@ -1090,10 +1132,14 @@ class BatchSolver:
                     W, ok, fail = self._run_host_stages(
                         W, ok, fail, segment.host_stages
                     )
+                self._log.debug(
+                    "segment %d: %d host stages in %.3fs", i,
+                    len(segment.host_stages), t_host.elapsed,
+                )
                 if stats is not None:
                     stats.host_stage_seconds.append(t_host.elapsed)
         return BatchResult(
-            self, np.asarray(W), np.asarray(ok), np.asarray(fail)
+            self, _to_host_np(W), _to_host_np(ok), _to_host_np(fail)
         )
 
 

@@ -89,3 +89,22 @@ def test_solve_batched(circuit_file, capsys):
     )
     out = json.loads(capsys.readouterr().out)
     assert out["satisfied"] == 4
+
+
+def test_log_level(circuit_file, capsys, caplog):
+    """--log-level INFO surfaces the solver's plan log (initLogLevel analogue,
+    acvm_js/src/logging.rs)."""
+    import logging
+
+    from acvm_tpu.utils.logging import _LEVELS, init_log_level
+
+    cli.main(["--log-level", "INFO", "info", "--circuit", circuit_file])
+    assert logging.getLogger("acvm_tpu").level == logging.INFO
+
+    # Unknown level falls back to ERROR (reference: Level::from_str unwrap_or).
+    init_log_level("bogus")
+    assert logging.getLogger("acvm_tpu").level == logging.ERROR
+    init_log_level("trace")
+    assert logging.getLogger("acvm_tpu").level == _LEVELS["TRACE"]
+    init_log_level("OFF")
+    assert logging.getLogger("acvm_tpu").level > logging.CRITICAL

@@ -103,3 +103,54 @@ def test_pedersen_circuit_on_device():
     x, y = GrumpkinSolver().pedersen([FieldElement(7)], 0)
     assert result.witness_ints(2)[1] == int(x)
     assert result.witness_ints(3)[1] == int(y)
+
+
+def test_pedersen_two_input_circuit_on_device():
+    """2-input commitment end-to-end on device AND through the sequential
+    API: pedersen([0, 1], 0) is the wasm/pedersen.rs:42-50 golden vector
+    (pinned generator 1); a random pair cross-checks the host backend."""
+    from acvm_tpu.acir import opcodes as ops
+    from acvm_tpu.acir.circuit import Circuit, PublicInputs
+    from acvm_tpu.acir.witness import Witness
+    from acvm_tpu.blackbox import GrumpkinSolver
+    from acvm_tpu.fields import FieldElement
+
+    op = ops.OpcodeBlackBoxFuncCall(
+        ops.BBPedersen(
+            inputs=[
+                ops.FunctionInput(Witness(1), 254),
+                ops.FunctionInput(Witness(2), 254),
+            ],
+            domain_separator=0,
+            outputs=(Witness(3), Witness(4)),
+        )
+    )
+    circuit = Circuit(
+        current_witness_index=5,
+        opcodes=[op],
+        private_parameters={Witness(1), Witness(2)},
+        return_values=PublicInputs({Witness(3), Witness(4)}),
+    )
+    plan = plan_circuit(circuit)
+    assert all(not level.host for level in plan.levels)
+    solver = BatchSolver(plan)
+    result = solver.solve([{1: 0, 2: 1}, {1: 123456789, 2: 987654321}])
+    assert result.ok.all()
+    # wasm/pedersen.rs golden vector
+    assert (
+        f"{result.witness_ints(3)[0]:064x}",
+        f"{result.witness_ints(4)[0]:064x}",
+    ) == gv.PEDERSEN_0_1
+    # host-backend differential for the random pair
+    x, y = GrumpkinSolver().pedersen(
+        [FieldElement(123456789), FieldElement(987654321)], 0
+    )
+    assert result.witness_ints(3)[1] == int(x)
+    assert result.witness_ints(4)[1] == int(y)
+
+    # and the sequential product API agrees
+    from acvm_tpu.api import execute_circuit
+    from acvm_tpu.acir.serialization import serialize_circuit
+
+    solved = execute_circuit(serialize_circuit(circuit), {1: 0, 2: 1})
+    assert f"{int(solved.get(Witness(3))):064x}" == gv.PEDERSEN_0_1[0]

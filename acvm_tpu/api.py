@@ -109,6 +109,19 @@ def _get_assert_message(circuit: Circuit, location: OpcodeLocation) -> Optional[
     return circuit.get_assert_message(location)
 
 
+def _to_witness_map(initial) -> WitnessMap:
+    """Coerce the initial witness into a WitnessMap: accepts a WitnessMap or
+    any {index-or-Witness: int/hex/FieldElement} mapping (the JS bindings'
+    Map<number, hex> analogue, acvm_js/src/js_witness_map.rs:9-72)."""
+    if isinstance(initial, WitnessMap):
+        return initial.copy()
+    wm = WitnessMap()
+    for k, v in dict(initial).items():
+        witness = k if isinstance(k, Witness) else Witness(int(k))
+        wm.insert(witness, _to_field(v))
+    return wm
+
+
 def execute_circuit(
     circuit: Union[Circuit, bytes],
     initial_witness: WitnessMap,
@@ -126,7 +139,7 @@ def execute_circuit(
     if solver is None:
         solver = GrumpkinSolver()
 
-    acvm = ACVM(solver, circuit.opcodes, initial_witness.copy())
+    acvm = ACVM(solver, circuit.opcodes, _to_witness_map(initial_witness))
 
     while True:
         status = acvm.solve()

@@ -168,6 +168,26 @@ def eval_exprs(
         )
         prods = ctx.mont_mul(v1, v2)  # w1*w2*R^-1
 
+    from ..fields.mxu_ops import mxu_ok
+
+    if (n or m) and scale is None and mxu_ok(ctx.params, B, E, n + m):
+        # MXU route: the whole linear combination as one exact bf16 limb
+        # einsum + a single constant-matrix Montgomery reduction per gate
+        # (fields/mxu_ops.py).  The witness*witness pre-multiply for quadratic
+        # terms stays on the CIOS path above.
+        from ..fields.mxu_ops import mont_dot_mxu
+
+        panels = [x for x in (vals, prods) if x is not None]
+        coeffs = [
+            jnp.asarray(c)
+            for c, x in ((pack["lin_coeff"], vals), (pack["mul_coeff"], prods))
+            if x is not None
+        ]
+        panel = panels[0] if len(panels) == 1 else jnp.concatenate(panels, axis=2)
+        coeff = coeffs[0] if len(coeffs) == 1 else jnp.concatenate(coeffs, axis=1)
+        qc_r = ctx.to_mont(jnp.asarray(pack["qc"]))
+        return mont_dot_mxu(panel, coeff, qc_r, ctx.params)
+
     if (n or m) and ctx._pallas_ok((B * E, NUM_LIMBS)):
         from ..fields.pallas_mul import mont_dot_pallas
 
@@ -196,8 +216,9 @@ def eval_exprs(
 
 
 def run_arith_solve_static(ctx, W, ok, buf):
-    # -num / den_const, with the division baked into the fused eval's scale.
-    val = eval_exprs(ctx, W, buf["num"], scale=buf["neg_inv"])
+    # -num / den_const, with the division folded into the packed coefficients
+    # at pack time (see _pack_level): one fused eval, no scale chain.
+    val = eval_exprs(ctx, W, buf["num"])
     return W.at[:, buf["u_idx"]].set(val), ok
 
 
@@ -534,10 +555,27 @@ class BatchSolver:
         dyn_gates = [g for g in level.arith_solve if g.neg_inv_den_r is None]
         if static_gates:
             packed["kinds"].append("arith_static")
+            # Fold the static -1/den scale into the packed coefficients (host
+            # ints), so the device evaluates plain `qc' + sum c'_i v_i` with no
+            # per-gate scale multiply chain in the hot kernel.
+            p = self.plan.params.modulus
+            r_inv = pow(self.plan.params.r % p, p - 2, p)
+            folded = []
+            for g in static_gates:
+                s = g.neg_inv_den_r * r_inv % p  # -1/den (standard form)
+                e = g.num
+                folded.append(
+                    ExprPlan(
+                        lin_idx=e.lin_idx,
+                        lin_coeff_r=[c * s % p for c in e.lin_coeff_r],
+                        mul_idx=e.mul_idx,
+                        mul_coeff_r2=[c * s % p for c in e.mul_coeff_r2],
+                        qc=e.qc * s % p,
+                    )
+                )
             packed["arith_static"] = dict(
-                num=pack_exprs([g.num for g in static_gates]),
+                num=pack_exprs(folded),
                 u_idx=np.asarray([g.unknown for g in static_gates], np.int32),
-                neg_inv=np.stack([_limbs_of(g.neg_inv_den_r) for g in static_gates]),
             )
         if dyn_gates:
             packed["kinds"].append("arith_dyn")

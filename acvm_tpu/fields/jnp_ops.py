@@ -60,6 +60,25 @@ class LimbContext:
             dtype=jnp.bool_,
         )
 
+    def _compact_mul(self) -> bool:
+        """Trace the CIOS rounds as a ``fori_loop`` instead of unrolling.
+
+        Identical bit-for-bit results, ~16x smaller HLO.  XLA:TPU wants the
+        unrolled form (cross-round fusion); XLA:CPU on weak hosts chokes on
+        compile time for EC graphs that inline hundreds of multiplies, so the
+        compact form is the default off-TPU.  Override either way with
+        ACVM_TPU_COMPACT_MUL=0/1.
+        """
+        import os
+
+        flag = os.environ.get("ACVM_TPU_COMPACT_MUL")
+        if flag is not None:
+            return flag not in ("", "0")
+        try:
+            return jax.default_backend() != "tpu"
+        except Exception:
+            return False
+
     def _pallas_ok(self, shape) -> bool:
         """Use the fused Pallas kernel: TPU backend, BN254, batch big enough to
         amortize the tile padding.  Disable with ACVM_TPU_NO_PALLAS=1."""
@@ -137,8 +156,7 @@ class LimbContext:
         t = jnp.zeros(shape[:-1] + (NUM_LIMBS + 1,), dtype=jnp.uint32)
         p = self.p_limbs
 
-        for i in range(NUM_LIMBS):
-            ai = a[..., i : i + 1]
+        def cios_round(ai, t):
             prod = ai * b  # (..., NUM_LIMBS), each < 2^32
             lo = prod & MASK
             hi = prod >> LIMB_BITS
@@ -155,7 +173,7 @@ class LimbContext:
             # Shift down one limb: t[0] is divisible by 2^16; its high part
             # carries into the next limb.
             carry = t[..., 0:1] >> LIMB_BITS
-            t = jnp.concatenate(
+            return jnp.concatenate(
                 [
                     t[..., 1:2] + carry,
                     t[..., 2:],
@@ -163,6 +181,19 @@ class LimbContext:
                 ],
                 axis=-1,
             )
+
+        if self._compact_mul():
+            t = jax.lax.fori_loop(
+                0,
+                NUM_LIMBS,
+                lambda i, t: cios_round(
+                    jax.lax.dynamic_slice_in_dim(a, i, 1, axis=-1), t
+                ),
+                t,
+            )
+        else:
+            for i in range(NUM_LIMBS):
+                t = cios_round(a[..., i : i + 1], t)
 
         if self.wide:
             # Value < 2p can exceed 2^256: keep the 17th limb through the

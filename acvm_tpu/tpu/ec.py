@@ -151,19 +151,21 @@ def pt_to_affine(ctx: LimbContext, p):
 
 
 @lru_cache(maxsize=None)
-def _window_table_np(base_point: Tuple[int, int]) -> np.ndarray:
-    """(NUM_WINDOWS, 2^WINDOW_BITS, 3, NUM_LIMBS) Montgomery-form jacobian
+def _window_table_np(base_point: Tuple[int, int], windows: int = NUM_WINDOWS) -> np.ndarray:
+    """(windows, 2^WINDOW_BITS, 3, NUM_LIMBS) Montgomery-form jacobian
     multiples: table[w][d] = d * 2^(4w) * base.  d = 0 is the infinity entry
-    (all zeros)."""
+    (all zeros).  A truncated table (windows < NUM_WINDOWS) supports scalars
+    < 2^(4*windows) only — tests and the multichip dryrun use short tables to
+    keep host precompute and CPU-mesh compile cost down."""
     ctx = LimbContext(BN254_FR)
     from .. import native
 
     table = np.zeros(
-        (NUM_WINDOWS, 1 << WINDOW_BITS, 3, NUM_LIMBS), dtype=np.uint32
+        (windows, 1 << WINDOW_BITS, 3, NUM_LIMBS), dtype=np.uint32
     )
     use_native = native.available()
     window_base = base_point
-    for w in range(NUM_WINDOWS):
+    for w in range(windows):
         acc = None
         for d in range(1, 1 << WINDOW_BITS):
             if use_native:
@@ -183,8 +185,8 @@ def _window_table_np(base_point: Tuple[int, int]) -> np.ndarray:
     return table
 
 
-def window_table(base_point: Tuple[int, int]) -> jnp.ndarray:
-    return jnp.asarray(_window_table_np(tuple(base_point)))
+def window_table(base_point: Tuple[int, int], windows: int = NUM_WINDOWS) -> jnp.ndarray:
+    return jnp.asarray(_window_table_np(tuple(base_point), windows))
 
 
 def _window_digits(scalar_limbs: jnp.ndarray) -> jnp.ndarray:
@@ -273,22 +275,29 @@ def pedersen_msm_sharded(ctx, tables, scalars, mesh, axis_name: str = "model"):
     assert n_gen % axis_size == 0, (n_gen, axis_size)
 
     def local_msm(tables_local, scalars_local):
-        # tables_local: (n_gen/m, ...), scalars_local: (B, n_gen/m, L)
+        # tables_local: (n_gen/m, ...), scalars_local: (B, n_gen/m, L).
+        # Both loops run as lax.scan so the pt_add body compiles ONCE no
+        # matter how many generators/devices participate — unrolled, an
+        # 8-device reduction inlined 8 EC additions and blew the CPU-mesh
+        # compile budget (round-2 MULTICHIP rc=124).
+        def gen_body(acc, xs):
+            table_i, scalars_i = xs  # (W, 16, 3, L), (B, L)
+            return pt_add(ctx, acc, fixed_base_mul(ctx, table_i, scalars_i)), None
+
         acc = pt_infinity(ctx, scalars_local.shape[:1])
-        for i in range(tables_local.shape[0]):
-            term = fixed_base_mul(ctx, tables_local[i], scalars_local[:, i])
-            acc = pt_add(ctx, acc, term)
+        acc, _ = jax.lax.scan(
+            gen_body, acc, (tables_local, scalars_local.swapaxes(0, 1))
+        )
         # Gather everyone's partial jacobian point: (m, B, 3, L) stacked.
         stacked = jnp.stack(acc, axis=-2)  # (B, 3, L)
         gathered = jax.lax.all_gather(stacked, axis_name)  # (m, B, 3, L)
+
+        def red_body(acc, part):  # part: (B, 3, L)
+            q = (part[:, 0, :], part[:, 1, :], part[:, 2, :])
+            return pt_add(ctx, acc, q), None
+
         total = pt_infinity(ctx, scalars_local.shape[:1])
-        for d in range(axis_size):
-            part = (
-                gathered[d, :, 0, :],
-                gathered[d, :, 1, :],
-                gathered[d, :, 2, :],
-            )
-            total = pt_add(ctx, total, part)
+        total, _ = jax.lax.scan(red_body, total, gathered)
         return jnp.stack(total, axis=-2)  # (B, 3, L), replicated
 
     result = shard_map(

@@ -15,21 +15,29 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_cpu_subprocess(body: str, timeout: int = 3000):
+def run_cpu_subprocess(body: str, timeout: int = 600):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    # Share the repo's persistent compile cache across subprocess runs; the
+    # jax.config.update in the preamble wins even though the ambient
+    # sitecustomize imports jax before the env var is read.
+    cache_dir = env.setdefault(
+        "JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache")
+    )
     code = textwrap.dedent(
         """
         import os, sys
         sys.path.insert(0, {repo!r})
         import jax
         jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir", {cache!r})
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
         assert len(jax.devices()) == 8, jax.devices()
         """
-    ).format(repo=REPO) + textwrap.dedent(body)
+    ).format(repo=REPO, cache=cache_dir) + textwrap.dedent(body)
     proc = subprocess.run(
         [sys.executable, "-c", code],
         env=env,
@@ -75,7 +83,7 @@ def test_sharded_pedersen_msm():
         n_gen, batch = 2, 3
         gens = [derive_generator(0, i) for i in range(n_gen)]
         # 8 windows cover the < 2^30 test scalars and keep CPU compiles sane
-        tables = jnp.stack([ec.window_table(g)[:8] for g in gens])
+        tables = jnp.stack([ec.window_table(g, 8) for g in gens])
         rng = np.random.RandomState(3)
         scalars_int = [
             [int(rng.randint(1, 1 << 30)) for _ in range(n_gen)]

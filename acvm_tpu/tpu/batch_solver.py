@@ -154,7 +154,7 @@ def eval_exprs(
     n = pack["lin_idx"].shape[1]
     m = pack["mul_idx"].shape[1]
 
-    vals = prods = None
+    vals = v1 = v2 = prods = None
     if n:
         vals = jnp.take(W, pack["lin_idx"].reshape(-1), axis=1).reshape(
             B, E, n, NUM_LIMBS
@@ -166,11 +166,37 @@ def eval_exprs(
         v2 = jnp.take(W, pack["mul_idx"][:, :, 1].reshape(-1), axis=1).reshape(
             B, E, m, NUM_LIMBS
         )
-        prods = ctx.mont_mul(v1, v2)  # w1*w2*R^-1
+
+    import os
 
     from ..fields.mxu_ops import mxu_ok
 
-    if (n or m) and scale is None and mxu_ok(ctx.params, B, E, n + m):
+    mxu_route = (n or m) and scale is None and mxu_ok(ctx.params, B, E, n + m)
+    v1_route = os.environ.get("ACVM_TPU_DOT_KERNEL") == "v1"
+
+    if (n or m) and not mxu_route and not v1_route and ctx._pallas_ok(
+        (B * E, NUM_LIMBS)
+    ):
+        # Fully fused unrolled-limb kernel: the witness*witness pre-multiply
+        # for quadratic terms, every coefficient Montgomery multiply, the
+        # modular fold, q_c and the optional scale run in ONE pallas_call.
+        from ..fields.pallas_mul_v2 import mont_dot_pallas_v2
+
+        return mont_dot_pallas_v2(
+            vals,
+            jnp.asarray(pack["lin_coeff"]) if n else None,
+            v1,
+            v2,
+            jnp.asarray(pack["mul_coeff"]) if m else None,
+            jnp.asarray(pack["qc"]),
+            jnp.asarray(scale) if scale is not None else None,
+            ctx.params,
+        )
+
+    if m:
+        prods = ctx.mont_mul(v1, v2)  # w1*w2*R^-1
+
+    if mxu_route:
         # MXU route: the whole linear combination as one exact bf16 limb
         # einsum + a single constant-matrix Montgomery reduction per gate
         # (fields/mxu_ops.py).  The witness*witness pre-multiply for quadratic

@@ -28,11 +28,15 @@ import os
 import sys
 import time
 
-# Documented speed-of-light estimate for the 16x16-limb CIOS Montgomery
-# multiply on one TPU v5e chip — see BASELINE.md "Roofline" for the
-# derivation (~2,950 int32 vector ops per multiply against ~6.1e12
-# elementwise int32 ops/s VPU peak).
-MONTMUL_ROOFLINE_PER_SEC = 2.05e9
+# Speed-of-light estimate for the 16x16-limb CIOS Montgomery multiply on one
+# TPU v5e chip, corrected in round 3 from *measured* VPU issue rates
+# (benchmarks/vpu_rates.py: 3.64e12 lane-ops/s sustained on a CIOS-like mixed
+# instruction stream with ILP — the round-2 figure assumed 6.1e12, which pure
+# single-op streams cannot reach on this chip).  ~2,800 lane-ops per reduced
+# multiply => 1.30e9/s.  See BASELINE.md "Roofline (corrected)".
+MONTMUL_ROOFLINE_PER_SEC = 1.30e9
+# Round-2 documented (now known unreachable) figure, kept for comparability.
+MONTMUL_ROOFLINE_R2_DOCUMENTED = 2.05e9
 
 
 def _is_oom(err: BaseException) -> bool:
@@ -66,14 +70,16 @@ def _sync(x) -> None:
     np.asarray(x[idx])
 
 
-def _bench_montmul(iters: int = 8, n: int = 1 << 20):
-    """Achieved Montgomery multiplies/sec on the fused Pallas kernel."""
+def _bench_montmul(iters: int = 16, n: int = 1 << 20):
+    """Achieved Montgomery multiplies/sec on the unrolled-limb (v2) Pallas
+    kernel in its native vreg-tile layout (the layout the fused solve kernel
+    uses internally)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from acvm_tpu.fields.params import BN254_FR, NUM_LIMBS, LIMB_BITS
-    from acvm_tpu.fields.pallas_mul import mont_mul_pallas
+    from acvm_tpu.fields.params import NUM_LIMBS, LIMB_BITS
+    from acvm_tpu.fields.pallas_mul_v2 import mont_mul_tiled, to_tiled
 
     rng = np.random.default_rng(42)
     a = rng.integers(0, 1 << LIMB_BITS, size=(n, NUM_LIMBS), dtype=np.uint32)
@@ -81,15 +87,15 @@ def _bench_montmul(iters: int = 8, n: int = 1 << 20):
     b = rng.integers(0, 1 << LIMB_BITS, size=(n, NUM_LIMBS), dtype=np.uint32)
     b[:, -1] &= 0x0FFF
 
+    at, _ = to_tiled(jnp.asarray(a))
+    bt, _ = to_tiled(jnp.asarray(b))
     # Chain a*b -> a so the timed region is pure kernel work (donated input).
-    step = jax.jit(lambda x, y: mont_mul_pallas(x, y), donate_argnums=(0,))
-    x = jnp.asarray(a)
-    y = jnp.asarray(b)
-    x = step(x, y)
+    step = jax.jit(lambda x, y: mont_mul_tiled(x, y), donate_argnums=(0,))
+    x = step(at, bt)
     _sync(x)
     t0 = time.perf_counter()
     for _ in range(iters):
-        x = step(x, y)
+        x = step(x, bt)
     _sync(x)
     elapsed = time.perf_counter() - t0
     return iters * n / elapsed
@@ -215,6 +221,11 @@ def main():
         out["montmul_roofline_per_sec"] = MONTMUL_ROOFLINE_PER_SEC
         out["roofline_pct"] = round(
             100.0 * montmul_per_sec / MONTMUL_ROOFLINE_PER_SEC, 2
+        )
+        # Against the (unreachable, see BASELINE.md) round-2 documented figure
+        # for cross-round comparability.
+        out["roofline_pct_vs_r2_documented"] = round(
+            100.0 * montmul_per_sec / MONTMUL_ROOFLINE_R2_DOCUMENTED, 2
         )
     print(json.dumps(out))
 

@@ -76,6 +76,15 @@ class GrumpkinSolver:
         except _grumpkin.GrumpkinError as e:
             raise BlackBoxResolutionError(BlackBoxFunc.FixedBaseScalarMul, str(e))
 
+    def pedersen_barretenberg_compatible(self, num_inputs: int) -> bool:
+        """True when pedersen(num_inputs inputs, domain 0) is bit-exact with
+        barretenberg's pedersen_plookup_commit.  Our generators match the two
+        pinned barretenberg points (wasm/pedersen.rs:38-55); the plookup
+        derivation for further generators is unreconstructed — see
+        docs/pedersen_compat.md.  tests/test_api_e2e.py pins strict xfails to
+        this predicate so any future derivation flips them loudly."""
+        return num_inputs <= 2
+
 
 class StubBlackBoxSolver:
     """Fixed-return stub mirroring the reference's DummyBlackBoxSolver

@@ -31,6 +31,11 @@ from .limbs import int_to_limbs
 
 MASK = (1 << LIMB_BITS) - 1
 
+# Incremented once per *traced* mont_batch_inv call (jit tracing runs the
+# Python body); zero after a solve means every inversion took a per-value
+# Fermat chain instead of the amortized batch trick.
+BATCH_INV_TRACES = 0
+
 
 class LimbContext:
     """Device-side constants for one field (modulus limbs, Montgomery R^2,
@@ -255,6 +260,10 @@ class LimbContext:
         """
         if a.shape[axis] == 1:
             return self.mont_inv(a)
+        # Trace-time telemetry: lets benches/tests assert the batched trick
+        # (one amortized Fermat chain) ran instead of per-value chains.
+        global BATCH_INV_TRACES
+        BATCH_INV_TRACES += 1
         a_m = jnp.moveaxis(a, axis, 0)  # (G, ..., L)
         is_zero = jnp.all(a_m == 0, axis=-1, keepdims=True)
         one = jnp.broadcast_to(self.r_limbs, a_m.shape).astype(jnp.uint32)

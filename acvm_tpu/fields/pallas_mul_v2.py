@@ -329,6 +329,8 @@ def mont_dot_pallas_v2(
     qc: jnp.ndarray,
     scale: jnp.ndarray | None = None,
     params: FieldParams = BN254_FR,
+    tile_b: int = 8,
+    tile_e: int = 128,
 ) -> jnp.ndarray:
     """Fully fused expression-panel evaluation (unrolled-limb kernel):
 
@@ -349,9 +351,9 @@ def mont_dot_pallas_v2(
     B, E = some.shape[0], some.shape[1]
     T1 = lin_vals.shape[2] if lin_vals is not None else 0
     T2 = mul_vals1.shape[2] if mul_vals1 is not None else 0
-    # Gates ride the 128 lanes (per-gate coefficients become natural lane
-    # vectors, broadcast over sublanes); batch rides the 8 sublanes.
-    TE, TB = 128, 8
+    # Gates ride the lanes (per-gate coefficients become natural lane
+    # vectors, broadcast over sublanes); batch rides the sublanes.
+    TE, TB = tile_e, tile_b
 
     def prep_vals(v):  # (B, E, T, L) -> (T, L, B, E) padded
         v = _pad_to(_pad_to(v, 0, TB), 1, TE)

@@ -1044,10 +1044,15 @@ class BatchSolver:
         from ..pwg.brillig_solver import BrilligSolver
         from ..pwg.directives import solve_directives
 
+        import os
+
+        from . import host_batch
+
         W_np = _to_host_np(W)
         ok_np = _to_host_np(ok).copy()
         fail_np = _to_host_np(fail).copy()
         B = W_np.shape[0]
+        p = self.plan.params.modulus
 
         # Columns worth materializing as Python ints: only the witnesses the
         # stage's opcodes actually read.  (known_before — every witness known
@@ -1060,61 +1065,119 @@ class BatchSolver:
             needed.update(stage.reads if stage.reads else stage.known_before)
             writes.update(stage.writes)
         cols = sorted(needed)
-        col_pos = {w: i for i, w in enumerate(cols)}
         ints = np.zeros((B, len(cols)), dtype=object)
         for li in range(NUM_LIMBS):
             ints += W_np[:, cols, li].astype(object) << (LIMB_BITS * li)
+        # Column store shared by every stage: batched stages read/write (B,)
+        # object arrays; later stages see earlier stages' outputs.
+        col_arrays: Dict[int, np.ndarray] = {
+            w: ints[:, i] for i, w in enumerate(cols)
+        }
+
+        def get_col(w: int) -> np.ndarray:
+            return col_arrays[int(w)]
 
         write_cols = sorted(writes)
         wpos = {w: i for i, w in enumerate(write_cols)}
         out_vals = np.zeros((B, len(write_cols)), dtype=object)
 
-        for b in range(B):
-            wm = WitnessMap()
-            for w in cols:
-                wm.insert(Witness(w), FieldElement(int(ints[b, col_pos[w]])))
-            for stage in stages:
-                for op_index in stage.opcode_indices:
-                    opcode = self.plan.circuit.opcodes[op_index]
-                    try:
-                        if isinstance(opcode, ops.OpcodeBlackBoxFuncCall):
-                            bb_dispatch.solve(self.backend, wm, opcode.call)
-                        elif isinstance(opcode, ops.OpcodeDirective):
-                            solve_directives(wm, opcode.directive)
-                        elif isinstance(opcode, ops.OpcodeBrillig):
+        def store_writes(values: Dict[int, np.ndarray]):
+            for w, arr in values.items():
+                col_arrays[w] = arr
+                out_vals[:, wpos[w]] = arr
+
+        no_batch = bool(os.environ.get("ACVM_TPU_NO_HOST_BATCH"))
+
+        def run_stage_per_instance(stage, op_index, opcode):
+            """Bit-exact per-instance fallback for one host stage."""
+            # Reads only: pre-inserting a write column would turn the solver's
+            # own output insert into a spurious UnsatisfiedConstrain conflict.
+            stage_cols = sorted(
+                set(stage.reads if stage.reads else stage.known_before)
+                - set(stage.writes)
+            )
+            for b in range(B):
+                wm = WitnessMap()
+                for w in stage_cols:
+                    if w in col_arrays:
+                        wm.insert(
+                            Witness(w), FieldElement(int(col_arrays[w][b]))
+                        )
+                try:
+                    if isinstance(opcode, ops.OpcodeBlackBoxFuncCall):
+                        bb_dispatch.solve(self.backend, wm, opcode.call)
+                    elif isinstance(opcode, ops.OpcodeDirective):
+                        solve_directives(wm, opcode.directive)
+                    elif isinstance(opcode, ops.OpcodeBrillig):
+                        wait = BrilligSolver.solve(
+                            wm, opcode.brillig, self.backend, op_index
+                        )
+                        while wait is not None:
+                            if self.foreign_call_handler is None:
+                                raise OpcodeResolutionError(
+                                    "foreign call requires a handler in "
+                                    "batched mode"
+                                )
+                            from ..api import _decode_foreign_call_result
+
+                            inputs = [
+                                [v.to_field() for v in group]
+                                for group in wait.inputs
+                            ]
+                            result = self.foreign_call_handler(
+                                wait.function, inputs
+                            )
+                            opcode.brillig.foreign_call_results.append(
+                                _decode_foreign_call_result(result)
+                            )
                             wait = BrilligSolver.solve(
                                 wm, opcode.brillig, self.backend, op_index
                             )
-                            while wait is not None:
-                                if self.foreign_call_handler is None:
-                                    raise OpcodeResolutionError(
-                                        "foreign call requires a handler in "
-                                        "batched mode"
-                                    )
-                                from ..api import _decode_foreign_call_result
-
-                                inputs = [
-                                    [v.to_field() for v in group]
-                                    for group in wait.inputs
-                                ]
-                                result = self.foreign_call_handler(
-                                    wait.function, inputs
-                                )
-                                opcode.brillig.foreign_call_results.append(
-                                    _decode_foreign_call_result(result)
-                                )
-                                wait = BrilligSolver.solve(
-                                    wm, opcode.brillig, self.backend, op_index
-                                )
-                        else:
-                            raise AssertionError(opcode)
-                    except OpcodeResolutionError:
-                        ok_np[b] = False
-                        fail_np[b] = min(fail_np[b], op_index)
-                        continue
+                    else:
+                        raise AssertionError(opcode)
+                except OpcodeResolutionError:
+                    ok_np[b] = False
+                    fail_np[b] = min(fail_np[b], op_index)
                 for w in stage.writes:
                     value = wm.get(Witness(w))
-                    out_vals[b, wpos[w]] = int(value) if value is not None else 0
+                    v = int(value) if value is not None else 0
+                    out_vals[b, wpos[w]] = v
+                    if w not in col_arrays:
+                        col_arrays[w] = np.zeros(B, dtype=object)
+                    col_arrays[w][b] = v
+
+        for stage in stages:
+            for op_index in stage.opcode_indices:
+                opcode = self.plan.circuit.opcodes[op_index]
+                # Vectorized fast paths across the whole instance axis
+                # (host_batch.py); everything else runs per instance.
+                if not no_batch:
+                    try:
+                        if isinstance(
+                            opcode, ops.OpcodeBrillig
+                        ) and host_batch.brillig_batchable(opcode.brillig):
+                            store_writes(
+                                host_batch.run_brillig_batch(
+                                    opcode.brillig, get_col, B, p
+                                )
+                            )
+                            continue
+                        if isinstance(opcode, ops.OpcodeDirective) and isinstance(
+                            opcode.directive, ops.DirToLeRadix
+                        ):
+                            values, bad = host_batch.run_to_le_radix_batch(
+                                opcode.directive, get_col, B, p
+                            )
+                            store_writes(values)
+                            if bad.any():
+                                ok_np &= ~bad
+                                fail_np[bad] = np.minimum(
+                                    fail_np[bad], np.int32(op_index)
+                                )
+                            continue
+                    except host_batch.HostBatchFallback:
+                        pass
+                run_stage_per_instance(stage, op_index, opcode)
 
         # Push writes back as limb columns.
         limbs = None

@@ -1,8 +1,15 @@
-from .bench_circuits import build_wide_arith_circuit, random_inputs
+from .bench_circuits import (
+    build_gadget_circuit,
+    build_wide_arith_circuit,
+    gadget_inputs,
+    random_inputs,
+)
 from .logging import get_logger, init_log_level
 
 __all__ = [
+    "build_gadget_circuit",
     "build_wide_arith_circuit",
+    "gadget_inputs",
     "random_inputs",
     "get_logger",
     "init_log_level",

@@ -24,6 +24,7 @@ def build_wide_arith_circuit(
     num_levels: int = 8,
     gates_per_level: int = 8192,
     mul_fraction: float = 0.25,
+    dyn_fraction: float = 0.0,
     seed: int = 1234,
 ) -> Circuit:
     rng = random.Random(seed)
@@ -44,6 +45,20 @@ def build_wide_arith_circuit(
             next_witness += 1
             c1 = FieldElement(rng.randrange(1, p))
             c0 = FieldElement(rng.randrange(p))
+            if rng.random() < dyn_fraction:
+                # qm*x*out + c1*x + c0 = 0: the solved witness carries a
+                # NON-CONSTANT coefficient (den = qm*x), forcing the batched
+                # modular-inversion path (arithmetic.rs:27-127 division by a
+                # runtime value; `run_arith_solve_dyn` + `mont_batch_inv`).
+                qm = FieldElement(rng.randrange(1, p))
+                expr = Expression(
+                    mul_terms=[(qm, min(x, out), max(x, out))],
+                    linear_combinations=[(c1, x)],
+                    q_c=c0,
+                )
+                opcodes.append(ops.OpcodeArithmetic(expr))
+                new_witnesses.append(out)
+                continue
             if rng.random() < mul_fraction:
                 # qm*x*y + c1*x + c0 - out = 0
                 qm = FieldElement(rng.randrange(1, p))
@@ -82,3 +97,68 @@ def random_inputs(
     return [
         {w: rng.randrange(p) for w in witnesses} for _ in range(batch)
     ]
+
+
+def build_gadget_circuit(
+    kind: str, num_gadgets: int = 8, msg_len: int = 64
+) -> Circuit:
+    """A circuit of ``num_gadgets`` independent black-box gadget calls, for
+    gadget-throughput benchmarking (BASELINE.json north star covers gadget
+    batches, not just arithmetic gates).
+
+    kinds: "sha256" / "blake2s" / "keccak256" (per gadget: ``msg_len``
+    byte-witness inputs -> 32 byte-witness outputs) and "pedersen"
+    (2 field inputs -> commitment point x, y).
+    """
+    opcodes: List[ops.Opcode] = []
+    next_witness = 1
+    input_witnesses: List[Witness] = []
+
+    def fresh() -> Witness:
+        nonlocal next_witness
+        w = Witness(next_witness)
+        next_witness += 1
+        return w
+
+    for _ in range(num_gadgets):
+        if kind == "pedersen":
+            ins = [fresh(), fresh()]
+            input_witnesses.extend(ins)
+            outs = (fresh(), fresh())
+            call = ops.BBPedersen(
+                inputs=[ops.FunctionInput(w, 254) for w in ins],
+                domain_separator=0,
+                outputs=outs,
+            )
+        else:
+            ins = [fresh() for _ in range(msg_len)]
+            input_witnesses.extend(ins)
+            outs = [fresh() for _ in range(32)]
+            cls = {
+                "sha256": ops.BBSha256,
+                "blake2s": ops.BBBlake2s,
+                "keccak256": ops.BBKeccak256,
+            }[kind]
+            call = cls(
+                inputs=[ops.FunctionInput(w, 8) for w in ins],
+                outputs=outs,
+            )
+        opcodes.append(ops.OpcodeBlackBoxFuncCall(call))
+
+    return Circuit(
+        current_witness_index=next_witness - 1,
+        opcodes=opcodes,
+        private_parameters=set(input_witnesses),
+    )
+
+
+def gadget_inputs(
+    circuit: Circuit, batch: int, kind: str, seed: int = 7
+) -> List[Dict[int, int]]:
+    """Random per-instance inputs for :func:`build_gadget_circuit` (byte
+    values for hash messages, field values for pedersen)."""
+    rng = random.Random(seed)
+    p = BN254_FR.modulus
+    hi = p if kind == "pedersen" else 256
+    witnesses = sorted(int(w) for w in circuit.circuit_arguments())
+    return [{w: rng.randrange(hi) for w in witnesses} for _ in range(batch)]

@@ -162,6 +162,111 @@ def _solve_throughput(batch: int, levels: int, gates_per_level: int):
     return batch * num_gates / elapsed, num_gates / seq_elapsed
 
 
+def _gadget_throughput(kind: str, batch: int, num_gadgets: int, msg_len: int):
+    """gadget solves/sec for a circuit of black-box gadget calls, with an
+    instance-0 cross-check against the sequential engine."""
+    from acvm_tpu.tpu import BatchSolver, plan_circuit
+    from acvm_tpu.utils import build_gadget_circuit, gadget_inputs
+
+    circuit = build_gadget_circuit(kind, num_gadgets=num_gadgets, msg_len=msg_len)
+    solver = BatchSolver(plan_circuit(circuit))
+    inputs = gadget_inputs(circuit, batch, kind)
+    res = solver.solve(inputs)  # compile + correctness flags
+    assert bool(res.ok.all()), f"{kind} gadget bench unsatisfiable"
+
+    # Sequential cross-check on instance 0 (never report fast-but-wrong).
+    from acvm_tpu.acir import Witness, WitnessMap
+    from acvm_tpu.blackbox import GrumpkinSolver
+    from acvm_tpu.fields import FieldElement
+    from acvm_tpu.pwg import ACVM, ACVMStatus
+
+    wm = WitnessMap()
+    for w, v in inputs[0].items():
+        wm.insert(Witness(w), FieldElement(v))
+    acvm = ACVM(GrumpkinSolver(), circuit.opcodes, wm)
+    assert acvm.solve() == ACVMStatus.SOLVED
+    expected = acvm.finalize()
+    last = circuit.current_witness_index
+    assert res.witness_ints(last)[0] == int(expected.get(Witness(last)))
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = solver.solve(inputs)  # returns host numpy => already synced
+        assert bool(out.ok.all())
+        times.append(time.perf_counter() - t0)
+    return batch * num_gadgets / min(times)
+
+
+def _dyn_throughput(batch: int, levels: int, gates_per_level: int):
+    """witness solves/sec on a circuit whose gates carry dynamic (runtime)
+    denominators, exercising the batched-inversion path; asserts the batch
+    trick actually traced."""
+    import jax
+    from acvm_tpu.fields import jnp_ops
+    from acvm_tpu.tpu import BatchSolver, plan_circuit
+    from acvm_tpu.utils import build_wide_arith_circuit, random_inputs
+
+    circuit = build_wide_arith_circuit(
+        num_levels=levels, gates_per_level=gates_per_level, dyn_fraction=0.5
+    )
+    plan = plan_circuit(circuit)
+    solver = BatchSolver(plan)
+    inputs = random_inputs(circuit, batch)
+    state = solver.initial_state(inputs)
+    fn = jax.jit(solver._segment_fn(0), donate_argnums=(0,))
+    before = jnp_ops.BATCH_INV_TRACES
+    W, ok, fail, mem = fn(*state)
+    _sync(W)
+    assert bool(ok.all()), "dyn bench circuit must be satisfiable"
+    assert jnp_ops.BATCH_INV_TRACES > before, (
+        "dynamic-denominator solve did not trace mont_batch_inv"
+    )
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        W, ok, fail, mem = fn(W, ok, fail, mem)
+        _sync(W)
+        times.append(time.perf_counter() - t0)
+    return batch * levels * gates_per_level / min(times)
+
+
+def _mesh1_overhead(batch: int, levels: int, gates_per_level: int):
+    """Sharding-machinery cost without multi-chip hardware: the same solve
+    through a 1-device jax.sharding.Mesh vs the plain path (BASELINE.json
+    configs 4-5 need the machinery; this measures its single-chip tax)."""
+    import jax
+    from acvm_tpu.parallel import make_mesh
+    from acvm_tpu.tpu import BatchSolver, plan_circuit
+    from acvm_tpu.utils import build_wide_arith_circuit, random_inputs
+
+    circuit = build_wide_arith_circuit(
+        num_levels=levels, gates_per_level=gates_per_level
+    )
+    plan = plan_circuit(circuit)
+    inputs = random_inputs(circuit, batch)
+
+    def timed(solver):
+        state = solver.initial_state(inputs)
+        fn = jax.jit(solver._segment_fn(0), donate_argnums=(0,))
+        W, ok, fail, mem = fn(*state)
+        _sync(W)
+        assert bool(ok.all())
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            W2, ok, fail, mem = fn(W, ok, fail, mem)
+            W = W2
+            _sync(W)
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    plain = timed(BatchSolver(plan))
+    mesh = make_mesh(jax.devices()[:1])
+    sharded = timed(BatchSolver(plan, mesh=mesh))
+    return 100.0 * (sharded - plain) / plain
+
+
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     min_batch = int(os.environ.get("BENCH_MIN_BATCH", "8"))
@@ -227,6 +332,45 @@ def main():
         out["roofline_pct_vs_r2_documented"] = round(
             100.0 * montmul_per_sec / MONTMUL_ROOFLINE_R2_DOCUMENTED, 2
         )
+
+    # Extras (gadget throughput, dynamic-denominator path, 1-device-mesh
+    # sharding overhead).  Each is best-effort: a failure is reported in the
+    # JSON rather than killing the headline.  Skip all with BENCH_EXTRAS=0.
+    if os.environ.get("BENCH_EXTRAS", "1") != "0":
+        gbatch = int(os.environ.get("BENCH_GADGET_BATCH", "1024"))
+
+        def extra(key, fn):
+            # The remote TPU runtime occasionally surfaces a transient
+            # INVALID_ARGUMENT on the first enqueue after a big workload
+            # switch; one retry clears it.  Extras stay best-effort either
+            # way — a None never kills the headline.
+            for attempt in (0, 1):
+                try:
+                    out[key] = round(fn(), 2)
+                    return
+                except Exception as err:  # noqa: BLE001
+                    print(
+                        f"bench: {key} extra failed (try {attempt}): {err}",
+                        file=sys.stderr,
+                    )
+            out[key] = None
+
+        # Pedersen's device MSM (64-window EC scans per input) is the most
+        # compile-expensive gadget — keep its panel small so a cold cache
+        # stays inside the driver budget.
+        for kind, gb, ng, ml in (
+            ("sha256", gbatch, 8, 64),
+            ("keccak256", gbatch, 8, 64),
+            ("pedersen", min(gbatch, 256), 2, 0),
+        ):
+            extra(
+                f"{kind}_solves_per_sec",
+                lambda kind=kind, gb=gb, ng=ng, ml=ml: _gadget_throughput(
+                    kind, gb, ng, ml
+                ),
+            )
+        extra("dyn_solves_per_sec", lambda: _dyn_throughput(batch_used, 4, 4096))
+        extra("mesh1_overhead_pct", lambda: _mesh1_overhead(batch_used, 2, 4096))
     print(json.dumps(out))
 
 

@@ -142,3 +142,36 @@ def test_batched_engine_bls12_381():
         w2, w3 = _expected(x % P)
         assert result.witness_ints(2)[b] == w2
         assert result.witness_ints(3)[b] == w3
+
+
+def test_bls12_381_routes_to_jnp_not_pallas(monkeypatch):
+    """Documented policy (PARITY.md): the Pallas fast path is BN254-only;
+    BLS12-381 batches take the jnp CIOS fallback.  Pin it so the guard in
+    `_pallas_ok` can't silently rot."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from acvm_tpu.fields import jnp_ops as jo
+    from acvm_tpu.fields.jnp_ops import LimbContext
+    from acvm_tpu.fields.limbs import ints_to_limbs, limbs_to_ints
+    from acvm_tpu.fields.params import BLS12_381_FR
+
+    ctx = LimbContext(BLS12_381_FR)
+    assert not ctx._pallas_ok((4096, 16))  # the policy itself
+
+    # And the fallback is bit-exact at a pallas-eligible batch size.
+    import random
+
+    rng = random.Random(42)
+    p = BLS12_381_FR.modulus
+    r_inv = pow(BLS12_381_FR.r, -1, p)
+    a_i = [rng.randrange(p) for _ in range(4096)]
+    b_i = [rng.randrange(p) for _ in range(4096)]
+    out = np.asarray(
+        ctx.mont_mul(
+            jnp.asarray(ints_to_limbs(a_i)), jnp.asarray(ints_to_limbs(b_i))
+        )
+    )
+    got = limbs_to_ints(out)
+    for i in range(0, 4096, 211):
+        assert got[i] == a_i[i] * b_i[i] * r_inv % p

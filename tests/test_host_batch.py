@@ -1,0 +1,252 @@
+"""Vectorized host-stage execution (tpu/host_batch.py) vs the per-instance
+sequential path.
+
+The host-stage fallback used to run a full interpreter per instance
+(round-2 finding: a 10k-instance batch hitting one Brillig hint meant 10k
+sequential VM runs).  These tests force opcodes onto the host path
+(``device_brillig_trace=False`` / general-radix ToLeRadix / branchy
+bytecode) and pin the batched fast path bit-exact against the per-instance
+path (ACVM_TPU_NO_HOST_BATCH=1), including failure flags and predicate
+masking.  Reference semantics: acvm/src/pwg/brillig.rs:20-130,
+directives/mod.rs:60-87, brillig_vm/src/arithmetic.rs:23-99.
+"""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from acvm_tpu import brillig as br
+from acvm_tpu.acir import Circuit, Witness
+from acvm_tpu.acir.expression import Expression
+from acvm_tpu.acir import opcodes as ops
+from acvm_tpu.config import EngineConfig
+from acvm_tpu.fields import FieldElement
+from acvm_tpu.fields.params import BN254_FR
+from acvm_tpu.tpu import BatchSolver, plan_circuit
+
+P = BN254_FR.modulus
+
+
+def fe(x):
+    return FieldElement(x % P)
+
+
+def lin(*terms, q_c=0):
+    return Expression(
+        mul_terms=[],
+        linear_combinations=[(fe(c), Witness(w)) for c, w in terms],
+        q_c=fe(q_c),
+    )
+
+
+def _brillig_uint_block(in_w, out_w, bit_size=32, predicate=None, rounds=1):
+    """A stdlib-shaped hint block: ``rounds`` repeats of
+    out = ((a + 7) * 3) >> 1 in uint semantics."""
+    bytecode = [
+        br.OpConst(br.RegisterIndex(1), br.Value.from_int(7)),
+        br.OpConst(br.RegisterIndex(2), br.Value.from_int(3)),
+        br.OpConst(br.RegisterIndex(3), br.Value.from_int(1)),
+    ]
+    for _ in range(rounds):
+        bytecode += [
+            br.OpBinaryIntOp(
+                br.RegisterIndex(0), br.BinaryIntOp.Add, bit_size,
+                br.RegisterIndex(0), br.RegisterIndex(1),
+            ),
+            br.OpBinaryIntOp(
+                br.RegisterIndex(0), br.BinaryIntOp.Mul, bit_size,
+                br.RegisterIndex(0), br.RegisterIndex(2),
+            ),
+            br.OpBinaryIntOp(
+                br.RegisterIndex(0), br.BinaryIntOp.Shr, bit_size,
+                br.RegisterIndex(0), br.RegisterIndex(3),
+            ),
+        ]
+    bytecode.append(br.OpStop())
+    return ops.OpcodeBrillig(
+        ops.Brillig(
+            inputs=[ops.BrilligInputSingle(lin((1, in_w)))],
+            outputs=[ops.BrilligOutputSimple(Witness(out_w))],
+            foreign_call_results=[],
+            bytecode=bytecode,
+            predicate=predicate,
+        )
+    )
+
+
+def _solve_both(circuit, inputs, config=None):
+    """Solve with the batched host path and with it disabled; return both."""
+    plan = plan_circuit(circuit, config=config)
+    solver = BatchSolver(plan)
+    res_fast = solver.solve(inputs)
+    os.environ["ACVM_TPU_NO_HOST_BATCH"] = "1"
+    try:
+        res_slow = BatchSolver(plan).solve(inputs)
+    finally:
+        del os.environ["ACVM_TPU_NO_HOST_BATCH"]
+    return res_fast, res_slow
+
+
+def test_host_brillig_batch_bit_exact_and_fast():
+    B = 512
+    circuit = Circuit(
+        current_witness_index=2,
+        opcodes=[_brillig_uint_block(1, 2)],
+        private_parameters={Witness(1)},
+    )
+    rng = np.random.default_rng(5)
+    inputs = [{1: int(rng.integers(0, 2**32))} for _ in range(B)]
+    cfg = EngineConfig(device_brillig_trace=False)  # force the host stage
+
+    plan = plan_circuit(circuit, config=cfg)
+    assert any(
+        lv.host for seg_lv in [plan.levels] for lv in seg_lv
+    ), "test setup: the Brillig block must be a host stage"
+
+    res_fast, res_slow = _solve_both(circuit, inputs, config=cfg)
+    assert bool(res_fast.ok.all()) and bool(res_slow.ok.all())
+    got = res_fast.witness_ints(2)
+    want = res_slow.witness_ints(2)
+    assert got == want
+    # independent oracle
+    for i in (0, B // 2, B - 1):
+        a = inputs[i][1]
+        assert got[i] == (((a + 7) * 3) % 2**32) >> 1
+
+
+def test_host_brillig_batch_predicate_masking():
+    B = 64
+    pred = lin((1, 3))  # witness 3 gates execution
+    circuit = Circuit(
+        current_witness_index=3,
+        opcodes=[_brillig_uint_block(1, 2, predicate=pred)],
+        private_parameters={Witness(1), Witness(3)},
+    )
+    inputs = [{1: 100 + i, 3: i % 2} for i in range(B)]
+    cfg = EngineConfig(device_brillig_trace=False)
+    res_fast, res_slow = _solve_both(circuit, inputs, config=cfg)
+    assert res_fast.witness_ints(2) == res_slow.witness_ints(2)
+    for i in range(B):
+        expect = 0 if i % 2 == 0 else (((100 + i + 7) * 3) % 2**32) >> 1
+        assert res_fast.witness_ints(2)[i] == expect
+
+
+def test_host_brillig_field_ops_and_signed_div():
+    B = 128
+    bit = 8
+    bytecode = [
+        # r2 = r0 /field r1 ; r3 = r0 signed-div r1 (8-bit)
+        br.OpBinaryFieldOp(
+            br.RegisterIndex(2), br.BinaryFieldOp.Div,
+            br.RegisterIndex(0), br.RegisterIndex(1),
+        ),
+        br.OpBinaryIntOp(
+            br.RegisterIndex(3), br.BinaryIntOp.SignedDiv, bit,
+            br.RegisterIndex(0), br.RegisterIndex(1),
+        ),
+        br.OpMov(br.RegisterIndex(0), br.RegisterIndex(2)),
+        br.OpMov(br.RegisterIndex(1), br.RegisterIndex(3)),
+        br.OpStop(),
+    ]
+    op = ops.OpcodeBrillig(
+        ops.Brillig(
+            inputs=[
+                ops.BrilligInputSingle(lin((1, 1))),
+                ops.BrilligInputSingle(lin((1, 2))),
+            ],
+            outputs=[
+                ops.BrilligOutputSimple(Witness(3)),
+                ops.BrilligOutputSimple(Witness(4)),
+            ],
+            foreign_call_results=[],
+            bytecode=bytecode,
+            predicate=None,
+        )
+    )
+    circuit = Circuit(
+        current_witness_index=4,
+        opcodes=[op],
+        private_parameters={Witness(1), Witness(2)},
+    )
+    rng = np.random.default_rng(9)
+    inputs = [
+        {1: int(rng.integers(0, 256)), 2: int(rng.integers(0, 256))}
+        for _ in range(B)
+    ]
+    inputs[0] = {1: 5, 2: 0}  # field div by zero -> 0 (inverse convention)
+    inputs[1] = {1: 200, 2: 255}  # -56 / -1 = 56 signed
+    cfg = EngineConfig(device_brillig_trace=False)
+    res_fast, res_slow = _solve_both(circuit, inputs, config=cfg)
+    assert res_fast.witness_ints(3) == res_slow.witness_ints(3)
+    assert res_fast.witness_ints(4) == res_slow.witness_ints(4)
+    assert res_fast.witness_ints(3)[0] == 0
+    assert res_fast.witness_ints(4)[1] == 56
+
+
+def test_host_to_le_radix_general_radix_batch():
+    B = 256
+    # radix 10 (not a power of two) forces the host stage.
+    digits = [Witness(w) for w in range(2, 8)]  # 6 digits
+    directive = ops.OpcodeDirective(
+        ops.DirToLeRadix(a=lin((1, 1)), b=digits, radix=10)
+    )
+    circuit = Circuit(
+        current_witness_index=7,
+        opcodes=[directive],
+        private_parameters={Witness(1)},
+    )
+    inputs = [{1: i * 37 % 1_000_000} for i in range(B - 1)]
+    inputs.append({1: 1_000_000})  # needs 7 digits -> per-instance failure
+    res_fast, res_slow = _solve_both(circuit, inputs)
+    assert list(res_fast.ok) == list(res_slow.ok)
+    assert not res_fast.ok[B - 1] and res_fast.ok[: B - 1].all()
+    for w in range(2, 8):
+        assert (
+            res_fast.witness_ints(w)[: B - 1]
+            == res_slow.witness_ints(w)[: B - 1]
+        )
+    val = inputs[3][1]
+    got = [res_fast.witness_ints(w)[3] for w in range(2, 8)]
+    assert got == [(val // 10**k) % 10 for k in range(6)]
+
+
+def test_host_batch_speedup():
+    """The VERDICT round-2 criterion: batched host-stage time >=10x faster
+    than the per-instance interpreter on a foreign-call-free Brillig circuit
+    (measured on SolveStats.host_stage_seconds — the stage itself, not the
+    solve()'s input-packing/transfer wrapper)."""
+    from acvm_tpu.utils.profiling import SolveStats
+
+    B = 4096
+    # Eight independent 36-op hint blocks in ONE level (a single segment:
+    # keeps the suite's cold-compile count down) so stage compute dominates
+    # the shared device-transfer floor of the host_stage_seconds metric.
+    opcodes = [_brillig_uint_block(1, 2 + k, rounds=12) for k in range(8)]
+    circuit = Circuit(
+        current_witness_index=9,
+        opcodes=opcodes,
+        private_parameters={Witness(1)},
+    )
+    inputs = [{1: i} for i in range(B)]
+    cfg = EngineConfig(device_brillig_trace=False)
+    plan = plan_circuit(circuit, config=cfg)
+
+    def host_seconds() -> float:
+        solver = BatchSolver(plan)
+        solver.solve(inputs)  # warm compiles out of the timed region
+        stats = SolveStats()
+        res = solver.solve(inputs, stats=stats)
+        assert bool(res.ok.all())
+        return sum(stats.host_stage_seconds)
+
+    fast = host_seconds()
+    os.environ["ACVM_TPU_NO_HOST_BATCH"] = "1"
+    try:
+        slow = host_seconds()
+    finally:
+        del os.environ["ACVM_TPU_NO_HOST_BATCH"]
+
+    assert fast * 10 < slow, (fast, slow)
+    print(f"host-stage speedup: {slow / fast:.1f}x ({slow:.3f}s -> {fast:.3f}s)")

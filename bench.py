@@ -29,13 +29,15 @@ import sys
 import time
 
 # Speed-of-light estimate for the 16x16-limb CIOS Montgomery multiply on one
-# TPU v5e chip, corrected in round 3 from *measured* VPU issue rates
-# (benchmarks/vpu_rates.py: 3.64e12 lane-ops/s sustained on a CIOS-like mixed
-# instruction stream with ILP — the round-2 figure assumed 6.1e12, which pure
-# single-op streams cannot reach on this chip).  ~2,800 lane-ops per reduced
-# multiply => 1.30e9/s.  See BASELINE.md "Roofline (corrected)".
-MONTMUL_ROOFLINE_PER_SEC = 1.30e9
-# Round-2 documented (now known unreachable) figure, kept for comparability.
+# TPU v5e chip.  Round-3 RTT-amortized re-measurement (benchmarks/
+# vpu_rates.py with the ~24 ms tunnel readback latency subtracted — the
+# mid-round-3 "1.30e9 correction" was itself an artifact of that latency)
+# confirms the VPU sustains ~6.1e12 lane-ops/s on the CIOS instruction mix;
+# ~2,800 lane-ops per reduced multiply => 2.18e9/s.  See BASELINE.md
+# "Roofline (round-3 final)".
+MONTMUL_ROOFLINE_PER_SEC = 2.18e9
+# Round-2 documented figure (2,950-op count at the same peak), kept for
+# cross-round comparability.
 MONTMUL_ROOFLINE_R2_DOCUMENTED = 2.05e9
 
 
@@ -70,7 +72,34 @@ def _sync(x) -> None:
     np.asarray(x[idx])
 
 
-def _bench_montmul(iters: int = 16, n: int = 1 << 20):
+_RTT_CACHE = []
+
+
+def _rtt() -> float:
+    """Measured host<->device readback round-trip latency (~24 ms on this
+    tunneled runtime).  Every timed region that ends in a `_sync` readback
+    pays it once; subtracting it (and sizing loops so work >> RTT) is what
+    makes the numbers hardware numbers rather than network numbers — the
+    round-2/early-round-3 figures were understated by up to 40x because of
+    this (see BASELINE.md "Measurement methodology")."""
+    if not _RTT_CACHE:
+        import jax
+        import jax.numpy as jnp
+
+        f = jax.jit(lambda x: x + 1)
+        x = f(jnp.ones((8, 128), jnp.uint32))
+        _sync(x)
+        samples = []
+        for _ in range(7):
+            t0 = time.perf_counter()
+            x = f(x)
+            _sync(x)
+            samples.append(time.perf_counter() - t0)
+        _RTT_CACHE.append(min(samples))
+    return _RTT_CACHE[0]
+
+
+def _bench_montmul(iters: int = 256, n: int = 1 << 20):
     """Achieved Montgomery multiplies/sec on the unrolled-limb (v2) Pallas
     kernel in its native vreg-tile layout (the layout the fused solve kernel
     uses internally)."""
@@ -93,11 +122,12 @@ def _bench_montmul(iters: int = 16, n: int = 1 << 20):
     step = jax.jit(lambda x, y: mont_mul_tiled(x, y), donate_argnums=(0,))
     x = step(at, bt)
     _sync(x)
+    rtt = _rtt()
     t0 = time.perf_counter()
     for _ in range(iters):
         x = step(x, bt)
     _sync(x)
-    elapsed = time.perf_counter() - t0
+    elapsed = time.perf_counter() - t0 - rtt
     return iters * n / elapsed
 
 
@@ -150,13 +180,17 @@ def _solve_throughput(batch: int, levels: int, gates_per_level: int):
 
     # Timed runs: chain (W, ok, mem) through the donated jit; solving an
     # already-solved panel recomputes the identical values, so each run is the
-    # same work as the first.  Report the best of 3.
+    # same work as the first.  Chain CHAIN calls per sync so the ~24 ms
+    # readback RTT (also subtracted) is amortized; report the best of 3.
+    rtt = _rtt()
+    CHAIN = 4
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        W, ok, fail, mem = fn(W, ok, fail, mem)
+        for _ in range(CHAIN):
+            W, ok, fail, mem = fn(W, ok, fail, mem)
         _sync(W)  # readback sync: block_until_ready lies on this runtime
-        times.append(time.perf_counter() - t0)
+        times.append((time.perf_counter() - t0 - rtt) / CHAIN)
     elapsed = min(times)
 
     return batch * num_gates / elapsed, num_gates / seq_elapsed
@@ -189,12 +223,16 @@ def _gadget_throughput(kind: str, batch: int, num_gadgets: int, msg_len: int):
     last = circuit.current_witness_index
     assert res.witness_ints(last)[0] == int(expected.get(Witness(last)))
 
+    # solver.solve goes through the public API (device->host readback each
+    # call); subtract the one RTT it pays so the number reflects the engine,
+    # not the tunnel latency.
+    rtt = _rtt()
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         out = solver.solve(inputs)  # returns host numpy => already synced
         assert bool(out.ok.all())
-        times.append(time.perf_counter() - t0)
+        times.append(max(time.perf_counter() - t0 - rtt, 1e-9))
     return batch * num_gadgets / min(times)
 
 
@@ -222,12 +260,15 @@ def _dyn_throughput(batch: int, levels: int, gates_per_level: int):
     assert jnp_ops.BATCH_INV_TRACES > before, (
         "dynamic-denominator solve did not trace mont_batch_inv"
     )
+    rtt = _rtt()
+    CHAIN = 4
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        W, ok, fail, mem = fn(W, ok, fail, mem)
+        for _ in range(CHAIN):
+            W, ok, fail, mem = fn(W, ok, fail, mem)
         _sync(W)
-        times.append(time.perf_counter() - t0)
+        times.append((time.perf_counter() - t0 - rtt) / CHAIN)
     return batch * levels * gates_per_level / min(times)
 
 
@@ -252,13 +293,15 @@ def _mesh1_overhead(batch: int, levels: int, gates_per_level: int):
         W, ok, fail, mem = fn(*state)
         _sync(W)
         assert bool(ok.all())
+        rtt = _rtt()
+        CHAIN = 4
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            W2, ok, fail, mem = fn(W, ok, fail, mem)
-            W = W2
+            for _ in range(CHAIN):
+                W, ok, fail, mem = fn(W, ok, fail, mem)
             _sync(W)
-            times.append(time.perf_counter() - t0)
+            times.append((time.perf_counter() - t0 - rtt) / CHAIN)
         return min(times)
 
     plain = timed(BatchSolver(plan))
@@ -342,9 +385,13 @@ def main():
         def extra(key, fn):
             # The remote TPU runtime occasionally surfaces a transient
             # INVALID_ARGUMENT on the first enqueue after a big workload
-            # switch; one retry clears it.  Extras stay best-effort either
-            # way — a None never kills the headline.
-            for attempt in (0, 1):
+            # switch; dropping dead buffers (gc) and backing off clears it.
+            # Extras stay best-effort either way — a None never kills the
+            # headline.
+            import gc
+
+            for attempt in range(3):
+                gc.collect()
                 try:
                     out[key] = round(fn(), 2)
                     return
@@ -353,6 +400,7 @@ def main():
                         f"bench: {key} extra failed (try {attempt}): {err}",
                         file=sys.stderr,
                     )
+                    time.sleep(2 * (attempt + 1))
             out[key] = None
 
         # Pedersen's device MSM (64-window EC scans per input) is the most

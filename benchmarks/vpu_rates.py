@@ -98,7 +98,31 @@ def make_bench(op_name: str, grid: int):
     return run, dtype
 
 
-def measure(op_name: str, grid: int = 4096, iters: int = 4) -> float:
+def _measure_rtt() -> float:
+    """Host<->device readback round-trip latency.  On the tunneled runtime
+    here this is ~24 ms — large enough to understate any rate measured with
+    few iterations (the mid-round-3 'corrected roofline' of 1.30e9 montmul/s
+    came from exactly that error).  All measurements below amortize over many
+    iterations AND subtract one RTT."""
+    f = jax.jit(lambda x: x + 1)
+    x = f(jnp.ones((8, 128), jnp.uint32))
+    _sync(x)
+    samples = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        x = f(x)
+        _sync(x)
+        samples.append(time.perf_counter() - t0)
+    return min(samples)
+
+
+_RTT = None
+
+
+def measure(op_name: str, grid: int = 4096, iters: int = 64) -> float:
+    global _RTT
+    if _RTT is None:
+        _RTT = _measure_rtt()
     run, dtype = make_bench(op_name, grid)
     if dtype == jnp.uint32:
         x = jnp.asarray(
@@ -117,7 +141,7 @@ def measure(op_name: str, grid: int = 4096, iters: int = 4) -> float:
     for _ in range(iters):
         out = run(x)
     _sync(out)
-    dt = (time.perf_counter() - t0) / iters
+    dt = (time.perf_counter() - t0 - _RTT) / iters
     lane_ops = grid * K * S * LANES * OPS_PER_ROUND[op_name]
     return lane_ops / dt
 

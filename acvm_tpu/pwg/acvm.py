@@ -86,6 +86,12 @@ class ACVM:
         self.witness_map = initial_witness
         self.error: Optional[OpcodeResolutionError] = None
         self.pending_foreign_call: Optional[ForeignCallWaitInfo] = None
+        # Per-execution foreign-call replay lists, keyed by opcode index and
+        # seeded lazily from the circuit-embedded results.  The reference
+        # consumes its opcode list per execution (acvm/src/pwg/mod.rs:139-152),
+        # so oracle results must die with this ACVM — never be written back to
+        # the caller's (possibly shared, possibly re-executed) Circuit.
+        self._foreign_call_results: Dict[int, List[br.ForeignCallResult]] = {}
 
     def finalize(self) -> WitnessMap:
         if self.status != ACVMStatus.SOLVED:
@@ -104,7 +110,9 @@ class ACVM:
         assert isinstance(opcode, OpcodeBrillig), (
             "ACVM can only enter RequiresForeignCall state on a Brillig opcode"
         )
-        opcode.brillig.foreign_call_results.append(result)
+        self._foreign_call_results.setdefault(
+            self.instruction_pointer, list(opcode.brillig.foreign_call_results)
+        ).append(result)
         self.pending_foreign_call = None
         self.status = ACVMStatus.IN_PROGRESS
 
@@ -138,6 +146,7 @@ class ACVM:
                     opcode.brillig,
                     self.backend,
                     self.instruction_pointer,
+                    self._foreign_call_results.get(self.instruction_pointer),
                 )
                 if foreign_call is not None:
                     self.pending_foreign_call = foreign_call

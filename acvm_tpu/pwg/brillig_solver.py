@@ -44,7 +44,18 @@ class BrilligSolver:
         brillig: Brillig,
         bb_solver: BlackBoxFunctionSolver,
         acir_index: int,
+        foreign_call_results: Optional[List[br.ForeignCallResult]] = None,
     ) -> Optional[ForeignCallWaitInfo]:
+        """Solve one Brillig opcode.
+
+        ``foreign_call_results`` is the per-*execution* oracle replay list.
+        The reference never reuses a solved opcode list (acvm/src/pwg/mod.rs:
+        139-152 takes opcodes by value per execution; acvm_js/src/execute.rs:
+        44-55 deserializes a fresh circuit per call), so results accumulated
+        while solving one instance must not leak into another.  Callers that
+        resume after a foreign call own this list; when absent we replay only
+        the circuit-embedded results, without mutating the opcode.
+        """
         from .acvm import get_value, insert_value
 
         if brillig.predicate is not None:
@@ -77,11 +88,13 @@ class BrilligSolver:
             else:
                 raise TypeError(inp)
 
+        if foreign_call_results is None:
+            foreign_call_results = list(brillig.foreign_call_results)
         vm = VM(
             Registers(input_register_values),
             input_memory,
             brillig.bytecode,
-            list(brillig.foreign_call_results),
+            list(foreign_call_results),
             bb_solver,
         )
         status = vm.process_opcodes()

@@ -162,3 +162,30 @@ def gadget_inputs(
     hi = p if kind == "pedersen" else 256
     witnesses = sorted(int(w) for w in circuit.circuit_arguments())
     return [{w: rng.randrange(hi) for w in witnesses} for _ in range(batch)]
+
+
+def gadget_inputs_columnar(circuit: Circuit, batch: int, kind: str, seed: int = 7):
+    """Columnar ``{witness: (B,) array}`` form of :func:`gadget_inputs` — the
+    zero-copy ingest path of ``BatchSolver.initial_state``.  Byte messages
+    come back as uint8 arrays; pedersen field scalars as object arrays."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    witnesses = sorted(int(w) for w in circuit.circuit_arguments())
+    if kind == "pedersen":
+        p = BN254_FR.modulus
+        pyrng = random.Random(seed)
+        return {
+            w: np.array(
+                [pyrng.randrange(p) for _ in range(batch)], dtype=object
+            )
+            for w in witnesses
+        }
+    return {
+        w: rng.integers(0, 256, size=batch, dtype=np.uint8) for w in witnesses
+    }
+
+
+def columnar_instance(columnar, index: int) -> Dict[int, int]:
+    """Extract one instance from columnar inputs as a {witness: int} dict."""
+    return {w: int(a[index]) for w, a in columnar.items()}

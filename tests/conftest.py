@@ -30,6 +30,13 @@ import jax  # noqa: E402
 jax.config.update(
     "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
 )
+
+# Escape hatch for iterating while the TPU tunnel is unavailable:
+# ACVM_TPU_TEST_PLATFORM=cpu forces the CPU backend (env vars alone cannot,
+# because sitecustomize registers the TPU plugin before conftest runs).
+_platform = os.environ.get("ACVM_TPU_TEST_PLATFORM")
+if _platform:
+    jax.config.update("jax_platforms", _platform)
 jax.config.update(
     "jax_persistent_cache_min_compile_time_secs",
     float(os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"]),

@@ -16,29 +16,49 @@ Also reports the Montgomery-multiply microbenchmark against the documented
 per-chip roofline (see BASELINE.md "Roofline"): ``montmul_per_sec`` and
 ``roofline_pct``.
 
+Every *extra* metric (gadget throughput, dynamic-denominator path, 1-device
+mesh overhead) runs in a FRESH SUBPROCESS (``python bench.py --extra NAME``):
+round 3 lost 4 of 6 extras to runtime-state degradation inside one long-lived
+process (INVALID_ARGUMENT after workload switches); process isolation plus the
+persistent compile cache makes each extra independent and cheap.
+
+Timing discipline: every timed region ends in a host readback (`benchtime.sync`
+— block_until_ready lies on this runtime) and is converted to a rate by
+`benchtime.timed_rate`, which subtracts one measured RTT and *refuses* to
+report RTT-dominated measurements — the harness then doubles the chained work
+and retries instead of clamping (the round-3 clamp could inflate rates).
+
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Environment knobs: BENCH_BATCH (default 256), BENCH_LEVELS (8),
-BENCH_GATES_PER_LEVEL (8192), BENCH_MIN_BATCH (8).
+Environment knobs: BENCH_BATCH (default 1024), BENCH_LEVELS (8),
+BENCH_GATES_PER_LEVEL (8192), BENCH_MIN_BATCH (8), BENCH_EXTRAS (=0 to skip),
+BENCH_EXTRA_TIMEOUT (seconds per extra subprocess, default 900).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 # Speed-of-light estimate for the 16x16-limb CIOS Montgomery multiply on one
 # TPU v5e chip.  Round-3 RTT-amortized re-measurement (benchmarks/
-# vpu_rates.py with the ~24 ms tunnel readback latency subtracted — the
-# mid-round-3 "1.30e9 correction" was itself an artifact of that latency)
-# confirms the VPU sustains ~6.1e12 lane-ops/s on the CIOS instruction mix;
-# ~2,800 lane-ops per reduced multiply => 2.18e9/s.  See BASELINE.md
-# "Roofline (round-3 final)".
+# vpu_rates.py) confirms the VPU sustains ~6.1e12 lane-ops/s on the CIOS
+# instruction mix; ~2,800 lane-ops per reduced multiply => 2.18e9/s.  See
+# BASELINE.md "Roofline (round-3 final)".
 MONTMUL_ROOFLINE_PER_SEC = 2.18e9
 # Round-2 documented figure (2,950-op count at the same peak), kept for
 # cross-round comparability.
 MONTMUL_ROOFLINE_R2_DOCUMENTED = 2.05e9
+
+EXTRA_NAMES = [
+    "sha256_solves_per_sec",
+    "keccak256_solves_per_sec",
+    "pedersen_solves_per_sec",
+    "dyn_solves_per_sec",
+    "mesh1_overhead_pct",
+]
 
 
 def _is_oom(err: BaseException) -> bool:
@@ -57,46 +77,49 @@ def _is_oom(err: BaseException) -> bool:
     )
 
 
-def _sync(x) -> None:
-    """Force device completion by reading one element back to the host.
+def _sync(x):
+    from acvm_tpu.utils.benchtime import sync
 
-    On the remote-tunneled TPU runtime here, ``block_until_ready`` can return
-    before the enqueued programs actually execute (verified: chained kernel
-    launches 'complete' in under the HBM-bandwidth floor).  A scalar readback
-    cannot — it depends on the produced buffer — so all timed regions end
-    with one.
-    """
-    import numpy as np
-
-    idx = tuple(0 for _ in x.shape)
-    np.asarray(x[idx])
-
-
-_RTT_CACHE = []
+    sync(x)
 
 
 def _rtt() -> float:
-    """Measured host<->device readback round-trip latency (~24 ms on this
-    tunneled runtime).  Every timed region that ends in a `_sync` readback
-    pays it once; subtracting it (and sizing loops so work >> RTT) is what
-    makes the numbers hardware numbers rather than network numbers — the
-    round-2/early-round-3 figures were understated by up to 40x because of
-    this (see BASELINE.md "Measurement methodology")."""
-    if not _RTT_CACHE:
-        import jax
-        import jax.numpy as jnp
+    from acvm_tpu.utils.benchtime import measure_rtt
 
-        f = jax.jit(lambda x: x + 1)
-        x = f(jnp.ones((8, 128), jnp.uint32))
-        _sync(x)
-        samples = []
-        for _ in range(7):
+    return measure_rtt()
+
+
+def _rate_or_retry(run_once, work_per_iter: float, iters: int = 4,
+                   max_doublings: int = 6):
+    """Best-of-3 guarded rate: chains ``iters`` calls of ``run_once`` per
+    sync; when the measurement is RTT-dominated, doubles the chain length and
+    retries instead of clamping."""
+    from acvm_tpu.utils.benchtime import timed_rate
+
+    rtt = _rtt()
+    for _ in range(max_doublings):
+        rates = []
+        for _ in range(3):
             t0 = time.perf_counter()
-            x = f(x)
-            _sync(x)
-            samples.append(time.perf_counter() - t0)
-        _RTT_CACHE.append(min(samples))
-    return _RTT_CACHE[0]
+            out = None
+            for _ in range(iters):
+                out = run_once()
+            if out is not None:
+                _sync(out)
+            rate = timed_rate(
+                work_per_iter * iters, time.perf_counter() - t0, rtt
+            )
+            if rate is None:
+                rates = None
+                break
+            rates.append(rate)
+        if rates:
+            return max(rates)
+        iters *= 2
+    raise RuntimeError(
+        "measurement stayed RTT-dominated after chaining "
+        f"{iters} iterations — refusing to report a tunnel number"
+    )
 
 
 def _bench_montmul(iters: int = 256, n: int = 1 << 20):
@@ -122,17 +145,18 @@ def _bench_montmul(iters: int = 256, n: int = 1 << 20):
     step = jax.jit(lambda x, y: mont_mul_tiled(x, y), donate_argnums=(0,))
     x = step(at, bt)
     _sync(x)
-    rtt = _rtt()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        x = step(x, bt)
-    _sync(x)
-    elapsed = time.perf_counter() - t0 - rtt
-    return iters * n / elapsed
+
+    state = {"x": x}
+
+    def once():
+        state["x"] = step(state["x"], bt)
+        return state["x"]
+
+    return _rate_or_retry(once, n, iters=iters)
 
 
 def _solve_throughput(batch: int, levels: int, gates_per_level: int):
-    """(witness_solves_per_sec, seq_per_sec, batch_used). Raises on OOM."""
+    """(witness_solves_per_sec, seq_per_sec). Raises on OOM."""
     import jax
     import numpy as np
 
@@ -149,7 +173,7 @@ def _solve_throughput(batch: int, levels: int, gates_per_level: int):
 
     state = solver.initial_state(inputs)
     # Donate the witness panel: the timed loop chains state through the jit so
-    # only one full (B, num_witnesses, 16) buffer is live at a time.
+    # only one full witness-panel buffer is live at a time.
     fn = jax.jit(solver._segment_fn(0), donate_argnums=(0,))
 
     # Warm up / compile.
@@ -178,33 +202,33 @@ def _solve_throughput(batch: int, levels: int, gates_per_level: int):
     assert got == int(expected.get(Witness(last))), "device result mismatch"
     del acvm, expected, wm
 
-    # Timed runs: chain (W, ok, mem) through the donated jit; solving an
-    # already-solved panel recomputes the identical values, so each run is the
-    # same work as the first.  Chain CHAIN calls per sync so the ~24 ms
-    # readback RTT (also subtracted) is amortized; report the best of 3.
-    rtt = _rtt()
-    CHAIN = 4
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(CHAIN):
-            W, ok, fail, mem = fn(W, ok, fail, mem)
-        _sync(W)  # readback sync: block_until_ready lies on this runtime
-        times.append((time.perf_counter() - t0 - rtt) / CHAIN)
-    elapsed = min(times)
+    # Timed runs: chain state through the donated jit; solving an already-
+    # solved panel recomputes the identical values, so each run is the same
+    # work as the first.
+    state = {"s": (W, ok, fail, mem)}
 
-    return batch * num_gates / elapsed, num_gates / seq_elapsed
+    def once():
+        state["s"] = fn(*state["s"])
+        return state["s"][0]
+
+    wps = _rate_or_retry(once, batch * num_gates)
+    return wps, num_gates / seq_elapsed
 
 
 def _gadget_throughput(kind: str, batch: int, num_gadgets: int, msg_len: int):
-    """gadget solves/sec for a circuit of black-box gadget calls, with an
-    instance-0 cross-check against the sequential engine."""
+    """gadget solves/sec through the public ``BatchSolver.solve`` API
+    (columnar inputs), with an instance-0 cross-check against the sequential
+    engine."""
     from acvm_tpu.tpu import BatchSolver, plan_circuit
-    from acvm_tpu.utils import build_gadget_circuit, gadget_inputs
+    from acvm_tpu.utils import (
+        build_gadget_circuit,
+        columnar_instance,
+        gadget_inputs_columnar,
+    )
 
     circuit = build_gadget_circuit(kind, num_gadgets=num_gadgets, msg_len=msg_len)
     solver = BatchSolver(plan_circuit(circuit))
-    inputs = gadget_inputs(circuit, batch, kind)
+    inputs = gadget_inputs_columnar(circuit, batch, kind)
     res = solver.solve(inputs)  # compile + correctness flags
     assert bool(res.ok.all()), f"{kind} gadget bench unsatisfiable"
 
@@ -215,7 +239,7 @@ def _gadget_throughput(kind: str, batch: int, num_gadgets: int, msg_len: int):
     from acvm_tpu.pwg import ACVM, ACVMStatus
 
     wm = WitnessMap()
-    for w, v in inputs[0].items():
+    for w, v in columnar_instance(inputs, 0).items():
         wm.insert(Witness(w), FieldElement(v))
     acvm = ACVM(GrumpkinSolver(), circuit.opcodes, wm)
     assert acvm.solve() == ACVMStatus.SOLVED
@@ -223,17 +247,16 @@ def _gadget_throughput(kind: str, batch: int, num_gadgets: int, msg_len: int):
     last = circuit.current_witness_index
     assert res.witness_ints(last)[0] == int(expected.get(Witness(last)))
 
-    # solver.solve goes through the public API (device->host readback each
-    # call); subtract the one RTT it pays so the number reflects the engine,
-    # not the tunnel latency.
-    rtt = _rtt()
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = solver.solve(inputs)  # returns host numpy => already synced
+    # Timed: the full public path per call — columnar packing, device solve,
+    # per-instance ok-flag readback (solve materializes ok/fail; the witness
+    # panel stays on device).  One RTT per call is subtracted by timed_rate;
+    # the guard refuses RTT-dominated results instead of clamping.
+    def once():
+        out = solver.solve(inputs)
         assert bool(out.ok.all())
-        times.append(max(time.perf_counter() - t0 - rtt, 1e-9))
-    return batch * num_gadgets / min(times)
+        return None  # solve already synced via its ok readback
+
+    return _rate_or_retry(once, batch * num_gadgets, iters=1)
 
 
 def _dyn_throughput(batch: int, levels: int, gates_per_level: int):
@@ -260,16 +283,13 @@ def _dyn_throughput(batch: int, levels: int, gates_per_level: int):
     assert jnp_ops.BATCH_INV_TRACES > before, (
         "dynamic-denominator solve did not trace mont_batch_inv"
     )
-    rtt = _rtt()
-    CHAIN = 4
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(CHAIN):
-            W, ok, fail, mem = fn(W, ok, fail, mem)
-        _sync(W)
-        times.append((time.perf_counter() - t0 - rtt) / CHAIN)
-    return batch * levels * gates_per_level / min(times)
+    state = {"s": (W, ok, fail, mem)}
+
+    def once():
+        state["s"] = fn(*state["s"])
+        return state["s"][0]
+
+    return _rate_or_retry(once, batch * levels * gates_per_level)
 
 
 def _mesh1_overhead(batch: int, levels: int, gates_per_level: int):
@@ -293,42 +313,69 @@ def _mesh1_overhead(batch: int, levels: int, gates_per_level: int):
         W, ok, fail, mem = fn(*state)
         _sync(W)
         assert bool(ok.all())
-        rtt = _rtt()
-        CHAIN = 4
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(CHAIN):
-                W, ok, fail, mem = fn(W, ok, fail, mem)
-            _sync(W)
-            times.append((time.perf_counter() - t0 - rtt) / CHAIN)
-        return min(times)
+        st = {"s": (W, ok, fail, mem)}
+
+        def once():
+            st["s"] = fn(*st["s"])
+            return st["s"][0]
+
+        # rate in solves/sec; overhead computed from the two rates
+        return _rate_or_retry(once, batch * levels * gates_per_level)
 
     plain = timed(BatchSolver(plan))
     mesh = make_mesh(jax.devices()[:1])
     sharded = timed(BatchSolver(plan, mesh=mesh))
-    return 100.0 * (sharded - plain) / plain
+    return 100.0 * (plain - sharded) / sharded
 
 
-def main():
-    batch = int(os.environ.get("BENCH_BATCH", "256"))
-    min_batch = int(os.environ.get("BENCH_MIN_BATCH", "8"))
-    levels = int(os.environ.get("BENCH_LEVELS", "8"))
-    gates_per_level = int(os.environ.get("BENCH_GATES_PER_LEVEL", "8192"))
-
+def _setup_jax():
     os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
     )
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 
-    import jax  # noqa: F401  (initialize before the retry loop)
+    import jax
 
     # sitecustomize imports jax before us, so env vars alone are too late.
     jax.config.update(
         "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+
+def _run_extra(name: str, batch: int):
+    gbatch = int(os.environ.get("BENCH_GADGET_BATCH", "1024"))
+    if name == "sha256_solves_per_sec":
+        return _gadget_throughput("sha256", gbatch, 8, 64)
+    if name == "keccak256_solves_per_sec":
+        return _gadget_throughput("keccak256", gbatch, 8, 64)
+    if name == "pedersen_solves_per_sec":
+        # Pedersen's device MSM (64-window EC scans per input) is the most
+        # compile-expensive gadget — keep its panel small so a cold cache
+        # stays inside the driver budget.
+        return _gadget_throughput("pedersen", min(gbatch, 256), 2, 0)
+    if name == "dyn_solves_per_sec":
+        return _dyn_throughput(batch, 4, 4096)
+    if name == "mesh1_overhead_pct":
+        return _mesh1_overhead(batch, 2, 4096)
+    raise ValueError(name)
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    min_batch = int(os.environ.get("BENCH_MIN_BATCH", "8"))
+    levels = int(os.environ.get("BENCH_LEVELS", "8"))
+    gates_per_level = int(os.environ.get("BENCH_GATES_PER_LEVEL", "8192"))
+
+    _setup_jax()
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--extra":
+        # Child mode: compute one extra, print one JSON object.
+        name = sys.argv[2]
+        value = _run_extra(name, batch)
+        print(json.dumps({"name": name, "value": round(value, 2)}))
+        return
 
     # OOM-resilient headline measurement: halve the batch until it fits.
     result = None
@@ -376,49 +423,42 @@ def main():
             100.0 * montmul_per_sec / MONTMUL_ROOFLINE_R2_DOCUMENTED, 2
         )
 
-    # Extras (gadget throughput, dynamic-denominator path, 1-device-mesh
-    # sharding overhead).  Each is best-effort: a failure is reported in the
-    # JSON rather than killing the headline.  Skip all with BENCH_EXTRAS=0.
+    # Extras: each one runs in a FRESH subprocess (see module docstring); a
+    # failure/timeout records None and never kills the headline.  Skip all
+    # with BENCH_EXTRAS=0.
     if os.environ.get("BENCH_EXTRAS", "1") != "0":
-        gbatch = int(os.environ.get("BENCH_GADGET_BATCH", "1024"))
-
-        def extra(key, fn):
-            # The remote TPU runtime occasionally surfaces a transient
-            # INVALID_ARGUMENT on the first enqueue after a big workload
-            # switch; dropping dead buffers (gc) and backing off clears it.
-            # Extras stay best-effort either way — a None never kills the
-            # headline.
-            import gc
-
-            for attempt in range(3):
-                gc.collect()
+        extra_timeout = float(os.environ.get("BENCH_EXTRA_TIMEOUT", "900"))
+        env = dict(os.environ, BENCH_BATCH=str(batch_used))
+        for name in EXTRA_NAMES:
+            out[name] = None
+            for attempt in range(2):
                 try:
-                    out[key] = round(fn(), 2)
-                    return
-                except Exception as err:  # noqa: BLE001
+                    proc = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__),
+                         "--extra", name],
+                        capture_output=True, text=True, timeout=extra_timeout,
+                        env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
+                    )
+                    if proc.returncode == 0:
+                        payload = json.loads(proc.stdout.strip().splitlines()[-1])
+                        out[name] = payload["value"]
+                        break
+                    tail = (proc.stderr or "").strip().splitlines()[-3:]
                     print(
-                        f"bench: {key} extra failed (try {attempt}): {err}",
+                        f"bench: {name} extra failed (try {attempt}, "
+                        f"rc={proc.returncode}): {' | '.join(tail)}",
                         file=sys.stderr,
                     )
-                    time.sleep(2 * (attempt + 1))
-            out[key] = None
-
-        # Pedersen's device MSM (64-window EC scans per input) is the most
-        # compile-expensive gadget — keep its panel small so a cold cache
-        # stays inside the driver budget.
-        for kind, gb, ng, ml in (
-            ("sha256", gbatch, 8, 64),
-            ("keccak256", gbatch, 8, 64),
-            ("pedersen", min(gbatch, 256), 2, 0),
-        ):
-            extra(
-                f"{kind}_solves_per_sec",
-                lambda kind=kind, gb=gb, ng=ng, ml=ml: _gadget_throughput(
-                    kind, gb, ng, ml
-                ),
-            )
-        extra("dyn_solves_per_sec", lambda: _dyn_throughput(batch_used, 4, 4096))
-        extra("mesh1_overhead_pct", lambda: _mesh1_overhead(batch_used, 2, 4096))
+                except subprocess.TimeoutExpired:
+                    print(
+                        f"bench: {name} extra timed out (try {attempt})",
+                        file=sys.stderr,
+                    )
+                except Exception as err:  # noqa: BLE001
+                    print(
+                        f"bench: {name} extra failed (try {attempt}): {err}",
+                        file=sys.stderr,
+                    )
     print(json.dumps(out))
 
 

@@ -31,8 +31,11 @@ K = 256  # unrolled op rounds per stream per grid step
 LANES = 8 * 128  # one vreg of int32
 
 
-def _sync(x):
-    np.asarray(x[tuple(0 for _ in x.shape)])
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+from acvm_tpu.utils.benchtime import measure_rtt, sync as _sync, timed_rate
 
 
 OPS = {
@@ -98,31 +101,10 @@ def make_bench(op_name: str, grid: int):
     return run, dtype
 
 
-def _measure_rtt() -> float:
-    """Host<->device readback round-trip latency.  On the tunneled runtime
-    here this is ~24 ms — large enough to understate any rate measured with
-    few iterations (the mid-round-3 'corrected roofline' of 1.30e9 montmul/s
-    came from exactly that error).  All measurements below amortize over many
-    iterations AND subtract one RTT."""
-    f = jax.jit(lambda x: x + 1)
-    x = f(jnp.ones((8, 128), jnp.uint32))
-    _sync(x)
-    samples = []
-    for _ in range(7):
-        t0 = time.perf_counter()
-        x = f(x)
-        _sync(x)
-        samples.append(time.perf_counter() - t0)
-    return min(samples)
-
-
-_RTT = None
-
-
 def measure(op_name: str, grid: int = 4096, iters: int = 64) -> float:
-    global _RTT
-    if _RTT is None:
-        _RTT = _measure_rtt()
+    # RTT probe shared with bench.py (acvm_tpu.utils.benchtime): one
+    # implementation, one caching policy.
+    rtt = measure_rtt()
     run, dtype = make_bench(op_name, grid)
     if dtype == jnp.uint32:
         x = jnp.asarray(
@@ -137,13 +119,16 @@ def measure(op_name: str, grid: int = 4096, iters: int = 64) -> float:
         )
     out = run(x)
     _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run(x)
-    _sync(out)
-    dt = (time.perf_counter() - t0 - _RTT) / iters
     lane_ops = grid * K * S * LANES * OPS_PER_ROUND[op_name]
-    return lane_ops / dt
+    while True:
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = run(x)
+        _sync(out)
+        rate = timed_rate(lane_ops * iters, time.perf_counter() - t0, rtt)
+        if rate is not None:
+            return rate
+        iters *= 2  # RTT-dominated: chain more work, never clamp
 
 
 def main():

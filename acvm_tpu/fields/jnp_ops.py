@@ -85,13 +85,14 @@ class LimbContext:
             return False
 
     def _pallas_ok(self, shape) -> bool:
-        """Use the fused Pallas kernel: TPU backend, BN254, batch big enough to
-        amortize the tile padding.  Disable with ACVM_TPU_NO_PALLAS=1."""
+        """Use the fused Pallas kernel: TPU backend, a non-wide field (2p <
+        2^256 — true of both reference fields), batch big enough to amortize
+        the tile padding.  Disable with ACVM_TPU_NO_PALLAS=1."""
         import os
 
         if os.environ.get("ACVM_TPU_NO_PALLAS"):
             return False
-        if self.params.name != "bn254":
+        if self.wide:
             return False
         n = 1
         for d in shape[:-1]:
@@ -160,7 +161,8 @@ class LimbContext:
             a = jnp.broadcast_to(a, shape)
             b = jnp.broadcast_to(b, shape)
             return mont_mul_pallas_v2(
-                a.reshape(-1, NUM_LIMBS), b.reshape(-1, NUM_LIMBS)
+                a.reshape(-1, NUM_LIMBS), b.reshape(-1, NUM_LIMBS),
+                params=self.params,
             ).reshape(shape)
         a = jnp.broadcast_to(a, shape)
         b = jnp.broadcast_to(b, shape)

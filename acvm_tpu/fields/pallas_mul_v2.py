@@ -181,19 +181,26 @@ def from_tiled(x: jnp.ndarray, n: int) -> jnp.ndarray:
     return x.transpose(0, 2, 3, 1).reshape(g * s * lanes, L)[:n]
 
 
-@partial(jax.jit, static_argnames=("reduce",))
-def mont_mul_tiled(a: jnp.ndarray, b: jnp.ndarray, reduce: bool = True):
+@partial(jax.jit, static_argnames=("reduce", "params"))
+def mont_mul_tiled(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    reduce: bool = True,
+    params: FieldParams = BN254_FR,
+):
     """(G, L, S, 128) x (G, L, S, 128) -> same shape Montgomery product.
 
     With ``reduce=False`` the result is the redundant representative < 2p
     (carry-normalized 16-bit limbs): valid input to further multiplies, one
-    ``cond_sub`` short of canonical.  BN254 only (the hot path).
+    ``cond_sub`` short of canonical.  Works for any field whose 2p fits in
+    NUM_LIMBS*LIMB_BITS bits (both reference fields: BN254 Fr and BLS12-381
+    Fr, acir_field/src/lib.rs:27-40); ``params`` keys the jit/kernel cache.
     """
     g, _, s, _ = a.shape
     spec = pl.BlockSpec((1, L, s, 128), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _make_mul_kernel(BN254_FR, reduce),
+        _make_mul_kernel(params, reduce),
         out_shape=jax.ShapeDtypeStruct(a.shape, jnp.uint32),
         grid=(g,),
         in_specs=[spec, spec],
@@ -201,8 +208,10 @@ def mont_mul_tiled(a: jnp.ndarray, b: jnp.ndarray, reduce: bool = True):
     )(a, b)
 
 
-def mont_mul_pallas_v2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(N, 16) x (N, 16) -> (N, 16) Montgomery product (BN254).
+def mont_mul_pallas_v2(
+    a: jnp.ndarray, b: jnp.ndarray, params: FieldParams = BN254_FR
+) -> jnp.ndarray:
+    """(N, 16) x (N, 16) -> (N, 16) Montgomery product.
 
     Drop-in equivalent of v1 ``mont_mul_pallas``; relayout to vreg tiles is
     done by XLA outside the kernel (one HBM pass, amortized against the
@@ -210,7 +219,7 @@ def mont_mul_pallas_v2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """
     at, n = to_tiled(a.reshape(-1, L))
     bt, _ = to_tiled(b.reshape(-1, L))
-    out = mont_mul_tiled(at, bt)
+    out = mont_mul_tiled(at, bt, params=params)
     return from_tiled(out, n).reshape(a.shape)
 
 

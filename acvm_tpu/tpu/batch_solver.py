@@ -225,7 +225,9 @@ def eval_exprs(
         ]
         panel = panels[0] if len(panels) == 1 else jnp.concatenate(panels, axis=2)
         coeff = coeffs[0] if len(coeffs) == 1 else jnp.concatenate(coeffs, axis=1)
-        return mont_dot_pallas(panel, coeff, jnp.asarray(pack["qc"]), scale)
+        return mont_dot_pallas(
+            panel, coeff, jnp.asarray(pack["qc"]), scale, params=ctx.params
+        )
 
     acc = jnp.broadcast_to(pack["qc"][None], (B, E, NUM_LIMBS))
     if n:
@@ -333,6 +335,28 @@ def run_hashes(ctx, W, ok, fail, buf):
         ..., 0
     ]
     message = (limbs >> buf["src_shift"][None]) & jnp.uint32(0xFF)  # (B, G, M)
+    if buf["kind"] == "hash_to_field":
+        # blake2s then reduce-mod-p (blackbox_solver/src/lib.rs:85-99):
+        # interpret the 32-byte digest big-endian, then a 4p/2p/p
+        # conditional-subtract chain brings the <2^256 value below p.
+        from ..fields.jnp_ops import _cond_sub
+        from ..fields.limbs import int_to_limbs as _itl
+
+        digest = gadgets.blake2s_digest(message.reshape(B * G, M)).reshape(
+            B, G, 32
+        )
+        limbs = [
+            digest[..., 31 - 2 * j] | (digest[..., 30 - 2 * j] << 8)
+            for j in range(NUM_LIMBS)
+        ]
+        val = jnp.stack(limbs, axis=-1)  # (B, G, L), value < 2^256
+        p = ctx.params.modulus
+        for mult in (4, 2, 1):
+            if mult * p < (1 << (LIMB_BITS * NUM_LIMBS)):
+                val = _cond_sub(
+                    val, jnp.asarray(_itl(mult * p), dtype=jnp.uint32)
+                )
+        return W.at[:, buf["out_idx"]].set(val.reshape(B, G, NUM_LIMBS)), ok, fail
     if buf["kind"] == "keccak_var":
         size_vals = jnp.take(W, buf["size_w"], axis=1)  # (B, G, L)
         length = size_vals[..., 0] | (size_vals[..., 1] << LIMB_BITS)
@@ -706,10 +730,11 @@ class BatchSolver:
             hash_packs = []
             for (kind, M), gates in groups.items():
                 G = len(gates)
+                n_out = len(gates[0].outputs)  # 32 bytes, or 1 field (h2f)
                 src_w = np.zeros((G, M), np.int32)
                 src_limb = np.zeros((G, M), np.int32)
                 src_shift = np.zeros((G, M), np.uint32)
-                out_idx = np.zeros((G, 32), np.int32)
+                out_idx = np.zeros((G, n_out), np.int32)
                 size_w = np.zeros((G,), np.int32)
                 for gi, gate in enumerate(gates):
                     for j, (w, limb, shift) in enumerate(gate.byte_src):

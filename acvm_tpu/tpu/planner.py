@@ -493,6 +493,27 @@ class _Planner:
             self._mark_known(int(call.output), level_idx)
             return
         if self.device_hash_kernels and isinstance(
+            call, ops.BBHashToField128Security
+        ):
+            # blake2s then reduce-mod-p (blackbox_solver/src/lib.rs:85-99):
+            # rides the hash-gate machinery with a single field output; the
+            # byte->field composition happens in run_hashes.
+            byte_src = []
+            level_idx = 0
+            for fi in call.inputs:
+                w = int(fi.witness)
+                level_idx = max(level_idx, self._witness_level(w))
+                num_bytes = (fi.num_bits + 7) // 8
+                for j in range(num_bytes):
+                    byte_src.append((w, j // 2, 8 * (j % 2)))
+            level_idx += 1
+            out = int(call.output)
+            self._level(level_idx).hashes.append(
+                HashGate("hash_to_field", byte_src, [out], opcode_index, None)
+            )
+            self._mark_known(out, level_idx)
+            return
+        if self.device_hash_kernels and isinstance(
             call,
             (
                 ops.BBSha256,

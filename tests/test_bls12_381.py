@@ -144,22 +144,25 @@ def test_batched_engine_bls12_381():
         assert result.witness_ints(3)[b] == w3
 
 
-def test_bls12_381_routes_to_jnp_not_pallas(monkeypatch):
-    """Documented policy (PARITY.md): the Pallas fast path is BN254-only;
-    BLS12-381 batches take the jnp CIOS fallback.  Pin it so the guard in
-    `_pallas_ok` can't silently rot."""
+def test_bls12_381_routes_to_pallas(monkeypatch):
+    """Since round 4 the fused Pallas kernel is parametrized over the field
+    (the reference treats BLS12-381 Fr as first-class, acir_field/src/
+    lib.rs:27-40): BLS batches route through the same fast path as BN254,
+    and the jnp fallback stays bit-exact for the NO_PALLAS escape hatch."""
     import numpy as np
+    import jax
     import jax.numpy as jnp
 
-    from acvm_tpu.fields import jnp_ops as jo
     from acvm_tpu.fields.jnp_ops import LimbContext
     from acvm_tpu.fields.limbs import ints_to_limbs, limbs_to_ints
     from acvm_tpu.fields.params import BLS12_381_FR
 
     ctx = LimbContext(BLS12_381_FR)
-    assert not ctx._pallas_ok((4096, 16))  # the policy itself
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    assert ctx._pallas_ok((4096, 16)) == on_tpu  # the policy itself
 
-    # And the fallback is bit-exact at a pallas-eligible batch size.
+    # Whatever path dispatches, mont_mul must be bit-exact at a
+    # pallas-eligible batch size (on TPU this exercises the fused kernel).
     import random
 
     rng = random.Random(42)
@@ -175,3 +178,16 @@ def test_bls12_381_routes_to_jnp_not_pallas(monkeypatch):
     got = limbs_to_ints(out)
     for i in range(0, 4096, 211):
         assert got[i] == a_i[i] * b_i[i] * r_inv % p
+
+    # jnp fallback exactness (the ACVM_TPU_NO_PALLAS escape hatch).
+    monkeypatch.setenv("ACVM_TPU_NO_PALLAS", "1")
+    assert not ctx._pallas_ok((4096, 16))
+    out2 = np.asarray(
+        ctx.mont_mul(
+            jnp.asarray(ints_to_limbs(a_i[:256])),
+            jnp.asarray(ints_to_limbs(b_i[:256])),
+        )
+    )
+    got2 = limbs_to_ints(out2)
+    for i in range(0, 256, 17):
+        assert got2[i] == a_i[i] * b_i[i] * r_inv % p

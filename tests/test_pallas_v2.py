@@ -42,6 +42,32 @@ def _rand_panel(rng, shape):
 
 
 @requires_tpu
+def test_mont_mul_v2_bls12_381_matches_ints():
+    """The fused kernel parametrized over the second reference field
+    (acir_field/src/lib.rs:27-40 treats BLS12-381 Fr as first-class)."""
+    from acvm_tpu.fields.params import BLS12_381_FR
+    from acvm_tpu.fields.pallas_mul_v2 import mont_mul_pallas_v2
+
+    p2 = BLS12_381_FR.modulus
+    r2_inv = pow(BLS12_381_FR.r, -1, p2)
+    rng = random.Random(7)
+    n = 4096
+    flat_a = [rng.randrange(p2) for _ in range(n)]
+    flat_b = [rng.randrange(p2) for _ in range(n)]
+    flat_a[:3] = [0, 1, p2 - 1]
+    flat_b[:3] = [0, p2 - 1, p2 - 1]
+    a = np.stack([np.asarray(int_to_limbs(v), np.uint32) for v in flat_a])
+    b = np.stack([np.asarray(int_to_limbs(v), np.uint32) for v in flat_b])
+    out = np.asarray(
+        mont_mul_pallas_v2(jnp.asarray(a), jnp.asarray(b), params=BLS12_381_FR)
+    )
+    for i in range(0, n, 67):
+        got = limbs_to_int(out[i])
+        want = flat_a[i] * flat_b[i] * r2_inv % p2
+        assert got == want, (i, hex(got), hex(want))
+
+
+@requires_tpu
 @pytest.mark.parametrize("n", [4096, 1024 + 13])  # aligned + padded
 def test_mont_mul_v2_matches_ints(n):
     from acvm_tpu.fields.pallas_mul_v2 import mont_mul_pallas_v2

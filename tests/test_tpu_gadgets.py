@@ -106,6 +106,44 @@ def test_hash_gadgets_in_batch_solver():
             assert got == expected[name], (name, msg)
 
 
+def test_hash_to_field_in_batch_solver():
+    """HashToField128Security on the device path: blake2s + big-endian
+    reduce mod p (blackbox_solver/src/lib.rs:85-99).  The 1-output gate
+    must not fall back to a per-instance host stage."""
+    from acvm_tpu.blackbox import hash_to_field_128_security
+
+    n = 6
+    inputs = [ops.FunctionInput(Witness(i + 1), 8) for i in range(n)] + [
+        ops.FunctionInput(Witness(n + 1), 16)  # multi-byte input too
+    ]
+    out = Witness(n + 2)
+    circuit = Circuit(
+        current_witness_index=n + 2,
+        opcodes=[
+            ops.OpcodeBlackBoxFuncCall(
+                ops.BBHashToField128Security(inputs=inputs, output=out)
+            )
+        ],
+        private_parameters={Witness(i + 1) for i in range(n + 1)},
+    )
+    plan = plan_circuit(circuit)
+    assert all(not level.host for level in plan.levels)
+    assert sum(len(level.hashes) for level in plan.levels) == 1
+
+    solver = BatchSolver(plan)
+    batch = [
+        {i + 1: rng.randrange(256) for i in range(n)} | {n + 1: 0xBEE0 + b}
+        for b in range(3)
+    ]
+    result = solver.solve(batch)
+    assert result.ok.all()
+    for b, assignment in enumerate(batch):
+        msg = bytes(assignment[i + 1] for i in range(n))
+        msg += (0xBEE0 + b).to_bytes(2, "little")  # fetch_nearest_bytes order
+        expected = hash_to_field_128_security(msg)
+        assert result.witness_ints(int(out))[b] == int(expected), b
+
+
 def test_keccak_var_kernel():
     msg = bytes(range(150))
     arr = jnp.asarray(

@@ -124,14 +124,54 @@ _PINNED_GENERATORS: List[Tuple[int, int]] = [
 
 _generator_cache: dict = {}
 
+# Externally-injected generator points, keyed (domain_separator, index).
+# The barretenberg derivation lives only inside the reference's opaque WASM
+# binary (docs/pedersen_compat.md): deployments that hold the real table can
+# inject it here and get bit-exact commitments through BOTH engines (the host
+# solver and the TPU batch solver read generators through derive_generator).
+_EXTERNAL_GENERATORS: dict = {}
+
+
+def set_external_generators(
+    table, domain_separator: int = 0, validate: bool = True
+) -> None:
+    """Install an externally-supplied Pedersen generator table.
+
+    ``table`` is a sequence of (x, y) ints (or objects with .value), used for
+    indices 0..len-1 at ``domain_separator``; it takes precedence over the
+    pinned/derived defaults everywhere (host pwg, Brillig VM blackboxes, and
+    the device MSM tables, which are built from ``derive_generator``).
+    Pass an empty table to clear the domain.  Points are checked to lie on
+    Grumpkin unless ``validate=False``.
+    """
+    for key in [k for k in _EXTERNAL_GENERATORS if k[0] == domain_separator]:
+        del _EXTERNAL_GENERATORS[key]
+    for index, point in enumerate(table):
+        x, y = point
+        x = getattr(x, "value", x)
+        y = getattr(y, "value", y)
+        if validate and not grumpkin.is_on_curve((x, y)):
+            raise GrumpkinError(
+                f"external generator {index} is not on the grumpkin curve"
+            )
+        _EXTERNAL_GENERATORS[(domain_separator, index)] = (x, y)
+
+
+def clear_external_generators() -> None:
+    _EXTERNAL_GENERATORS.clear()
+
 
 def derive_generator(domain_separator: int, index: int) -> Tuple[int, int]:
     """Deterministic generator table.
 
-    Index 0/1 at domain 0 are the pinned barretenberg points; everything else is
+    Externally-injected points (``set_external_generators``) win; then index
+    0/1 at domain 0 are the pinned barretenberg points; everything else is
     derived by hashing a domain-separated counter with keccak256 and lifting to
     the curve (increment-until-square, sign from the hash's low bit).
     """
+    external = _EXTERNAL_GENERATORS.get((domain_separator, index))
+    if external is not None:
+        return external
     if domain_separator == 0 and index < len(_PINNED_GENERATORS):
         return _PINNED_GENERATORS[index]
     key = (domain_separator, index)
@@ -183,7 +223,26 @@ def pedersen_compress(inputs: List[FieldElement], domain_separator: int = 0) -> 
 # ---------------------------------------------------------------------------
 
 
+# Optional externally-supplied challenge function (r_x, (pub_x, pub_y),
+# message) -> int.  Lets deployments that know barretenberg's exact challenge
+# construction get bit-exact Schnorr through the host engine; when set, the
+# planner routes SchnorrVerify gates to host stages (a Python hook cannot run
+# inside the device kernel).
+_SCHNORR_CHALLENGE_HOOK = None
+
+
+def set_schnorr_challenge_hook(fn) -> None:
+    global _SCHNORR_CHALLENGE_HOOK
+    _SCHNORR_CHALLENGE_HOOK = fn
+
+
+def schnorr_challenge_hook():
+    return _SCHNORR_CHALLENGE_HOOK
+
+
 def _schnorr_challenge(r_x: int, pub: Tuple[int, int], message: bytes) -> int:
+    if _SCHNORR_CHALLENGE_HOOK is not None:
+        return int(_SCHNORR_CHALLENGE_HOOK(r_x, pub, message)) % N
     compressed = pedersen_compress(
         [FieldElement(r_x), FieldElement(pub[0]), FieldElement(pub[1])]
     )

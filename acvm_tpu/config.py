@@ -40,6 +40,14 @@ class EngineConfig:
     # time (the reference gates hash fallbacks behind `unstable-fallbacks`).
     enable_hash_fallbacks: bool = True
 
+    # Pedersen generator escape hatch: an externally-supplied table of (x, y)
+    # points for domain_separator 0 (docs/pedersen_compat.md — barretenberg's
+    # derivation is sealed inside its WASM binary; deployments that hold the
+    # real table inject it here and get bit-exact commitments through both
+    # engines).  Applied via blackbox.grumpkin.set_external_generators the
+    # first time this config builds a plan or solver.
+    pedersen_generators: Optional[Tuple[Tuple[int, int], ...]] = None
+
     def field_params(self) -> FieldParams:
         return get_field(self.field)
 
@@ -68,9 +76,16 @@ class EngineConfig:
             enable_hash_fallbacks=self.enable_hash_fallbacks,
         )
 
+    def _apply_generators(self):
+        if self.pedersen_generators is not None:
+            from .blackbox.grumpkin import set_external_generators
+
+            set_external_generators(self.pedersen_generators)
+
     def plan(self, circuit, input_witnesses=None):
         from .tpu.planner import plan_circuit
 
+        self._apply_generators()
         return plan_circuit(circuit, input_witnesses, config=self)
 
     def make_mesh(self):
@@ -90,6 +105,7 @@ class EngineConfig:
     def solver(self, plan, **kwargs):
         from .tpu.batch_solver import BatchSolver
 
+        self._apply_generators()
         kwargs.setdefault("mesh", self.make_mesh())
         return BatchSolver(plan, **kwargs)
 

@@ -1,0 +1,339 @@
+"""Fused arith-static level kernel: gather -> CIOS chain -> scatter in one
+Pallas program.
+
+Round-3 profile of the headline solve (BASELINE.md "Roofline (round-3
+final)"): per 110 ms step only 41 ms ran Pallas kernels; the rest was XLA
+witness gathers (19 ms), layout copies into the kernel's tile format (20 ms),
+and the result scatter (16 ms).  All three exist only because the witness
+panel lived batch-major ((B, num_w, L)) while the kernel wanted vreg tiles.
+
+This module stores the panel *witness-major*:
+
+    W_rows : (num_w_pad, L, S, 128) uint32,  batch B = S * 128
+
+so one witness's batch panel is a contiguous (L, S, 128) block — exactly the
+operand layout of the unrolled-limb CIOS kernel (pallas_mul_v2), and a
+natural DMA unit (64 KB at B=1024).  The level kernel then:
+
+1. DMAs each gate's operand rows HBM->VMEM (indices read from a per-gate
+   descriptor table; double-buffered so gate g+1's loads overlap gate g's
+   compute);
+2. runs the same unrolled-limb CIOS chain as `mont_dot_pallas_v2`, with the
+   per-gate coefficient limbs as *scalar* multiplicands;
+3. DMAs the solved row VMEM->HBM straight into W_rows[out_idx] — the W
+   buffer is aliased input/output, so a level is one in-place program with
+   no gather / transpose / scatter XLA ops at all.
+
+Levelization guarantees a level's reads never overlap its writes (the
+planner solves each witness exactly once, before any use), which is what
+makes the in-place alias safe.
+
+Reference semantics: the arithmetic-gate solve of acvm/src/pwg/
+arithmetic.rs:27-127 (single unknown, constant divisor folded into the
+packed coefficients at plan time), batched over instances.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fields.params import FieldParams, BN254_FR, LIMB_BITS, NUM_LIMBS
+from ..fields.pallas_mul_v2 import (
+    _k_max,
+    _p_limbs,
+    _reduce_full,
+    cios_unrolled,
+    cond_sub,
+    normalize,
+)
+
+L = NUM_LIMBS
+MASK = (1 << LIMB_BITS) - 1
+
+
+# ---------------------------------------------------------------------------
+# Layout converters
+# ---------------------------------------------------------------------------
+
+
+def to_rows(W: jnp.ndarray) -> jnp.ndarray:
+    """(B, NW, L) batch-major -> (NW, L, S, 128) witness-major (B = S*128)."""
+    B, NW, _ = W.shape
+    assert B % 1024 == 0, "fused path needs B to be a multiple of 1024"
+    S = B // 128
+    return W.transpose(1, 2, 0).reshape(NW, L, S, 128)
+
+
+def from_rows(W_rows: jnp.ndarray) -> jnp.ndarray:
+    """(NW, L, S, 128) -> (B, NW, L)."""
+    NW, _, S, _ = W_rows.shape
+    return W_rows.reshape(NW, L, S * 128).transpose(2, 0, 1)
+
+
+# ---------------------------------------------------------------------------
+# Descriptor packing (host)
+# ---------------------------------------------------------------------------
+
+
+def desc_width(t1: int, t2: int) -> int:
+    """int32 words per gate: [lin_idx t1 | mul_idx 2*t2 | out_idx |
+    lin_coeff t1*L | mul_coeff t2*L | qc L], padded to a lane multiple."""
+    dw = t1 + 2 * t2 + 1 + L * (t1 + t2 + 1)
+    return ((dw + 127) // 128) * 128
+
+
+def pack_level_desc(
+    buf: dict, scratch_row: int, pad_to: int | None = None
+) -> np.ndarray:
+    """Pack one arith_static level buffer (`_pack_level` output: ``num`` pack
+    + ``u_idx``) into the (E, DW) descriptor table the kernel reads.
+
+    ``pad_to`` pads the gate axis: padding gates read row 0, carry zero
+    coefficients (so they compute 0) and scatter into ``scratch_row``."""
+    num = buf["num"]
+    u_idx = buf["u_idx"]
+    E = u_idx.shape[0]
+    t1 = num["lin_idx"].shape[1]
+    t2 = num["mul_idx"].shape[1]
+    dw = desc_width(t1, t2)
+    Ep = pad_to if pad_to is not None else E
+    assert Ep >= E
+    desc = np.zeros((Ep, dw), dtype=np.int32)
+    o = 0
+    if t1:
+        desc[:E, o : o + t1] = num["lin_idx"]
+        o += t1
+    if t2:
+        desc[:E, o : o + 2 * t2] = num["mul_idx"].reshape(E, 2 * t2)
+        o += 2 * t2
+    desc[:E, o] = u_idx
+    desc[E:, o] = scratch_row
+    o += 1
+    if t1:
+        desc[:E, o : o + t1 * L] = num["lin_coeff"].reshape(E, t1 * L)
+        o += t1 * L
+    if t2:
+        desc[:E, o : o + t2 * L] = num["mul_coeff"].reshape(E, t2 * L)
+        o += t2 * L
+    desc[:E, o : o + L] = num["qc"]
+    return desc
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_level_kernel(
+    params: FieldParams, t1: int, t2: int, ec: int, s: int, dw: int
+):
+    """Kernel over one chunk of ``ec`` gates; operand rows are (L, s, 128)."""
+    pl_ = _p_limbs(params)
+    n0 = params.n0_inv
+    k_max = _k_max(params)
+    n_opnd = t1 + 2 * t2
+    # descriptor field offsets
+    off_lin = 0
+    off_mul = t1
+    off_out = t1 + 2 * t2
+    off_lc = off_out + 1
+    off_mc = off_lc + t1 * L
+    off_qc = off_mc + t2 * L
+
+    def kernel(desc_ref, W_ref, Wout_ref, opnd, outbuf, in_sem, out_sem):
+        def start_gathers(slot, g):
+            for t in range(t1):
+                idx = desc_ref[g, off_lin + t]
+                pltpu.make_async_copy(
+                    W_ref.at[idx], opnd.at[slot, t], in_sem.at[slot, t]
+                ).start()
+            for t in range(t2):
+                i1 = desc_ref[g, off_mul + 2 * t]
+                i2 = desc_ref[g, off_mul + 2 * t + 1]
+                pltpu.make_async_copy(
+                    W_ref.at[i1], opnd.at[slot, t1 + 2 * t],
+                    in_sem.at[slot, t1 + 2 * t],
+                ).start()
+                pltpu.make_async_copy(
+                    W_ref.at[i2], opnd.at[slot, t1 + 2 * t + 1],
+                    in_sem.at[slot, t1 + 2 * t + 1],
+                ).start()
+
+        def wait_gathers(slot, g):
+            for t in range(n_opnd):
+                # dst-shaped wait (the copy object just needs shapes)
+                pltpu.make_async_copy(
+                    W_ref.at[0], opnd.at[slot, t], in_sem.at[slot, t]
+                ).wait()
+
+        def compute(slot, g):
+            # accumulator starts at qc
+            acc = [
+                jnp.full((s, 128), desc_ref[g, off_qc + j], jnp.uint32)
+                for j in range(L)
+            ]
+            bound = 1
+
+            def add_term(acc, bound, term):
+                if bound + 1 > k_max:
+                    acc = _reduce_full(normalize(acc), params, bound)
+                    bound = 1
+                return [x + y for x, y in zip(acc, term)], bound + 1
+
+            for t in range(t1):
+                a = [
+                    (lambda j=j, t=t: desc_ref[g, off_lc + t * L + j]
+                     .astype(jnp.uint32))
+                    for j in range(L)
+                ]
+                b = [opnd[slot, t, j] for j in range(L)]
+                term = cond_sub(normalize(cios_unrolled(a, b, pl_, n0)), pl_)
+                acc, bound = add_term(acc, bound, term)
+            for t in range(t2):
+                v1 = [opnd[slot, t1 + 2 * t, j] for j in range(L)]
+                v2 = [opnd[slot, t1 + 2 * t + 1, j] for j in range(L)]
+                prod = normalize(cios_unrolled(v1, v2, pl_, n0))  # < 2p
+                a = [
+                    (lambda j=j, t=t: desc_ref[g, off_mc + t * L + j]
+                     .astype(jnp.uint32))
+                    for j in range(L)
+                ]
+                term = cond_sub(
+                    normalize(cios_unrolled(a, prod, pl_, n0)), pl_
+                )
+                acc, bound = add_term(acc, bound, term)
+            r = _reduce_full(normalize(acc), params, bound)
+            for j in range(L):
+                outbuf[slot, j] = r[j]
+
+        def start_scatter(slot, g):
+            pltpu.make_async_copy(
+                outbuf.at[slot], Wout_ref.at[desc_ref[g, off_out]],
+                out_sem.at[slot],
+            ).start()
+
+        def wait_scatter(slot):
+            pltpu.make_async_copy(
+                outbuf.at[slot], Wout_ref.at[0], out_sem.at[slot]
+            ).wait()
+
+        # Two-slot pipeline, statically unrolled (slots 0/1): gate pair
+        # (2k, 2k+1); gathers for the next gate start before computing the
+        # current one.
+        start_gathers(0, 0)
+        start_gathers(1, 1)
+
+        def body(k, _):
+            g0 = 2 * k
+            for slot in (0, 1):
+                g = g0 + slot
+                wait_gathers(slot, g)
+                # the next gate for this slot is g + 2
+                @pl.when(g + 2 < ec)
+                def _():
+                    start_gathers(slot, g + 2)
+
+                @pl.when(k > 0)
+                def _():
+                    wait_scatter(slot)  # outbuf[slot] free again
+
+                compute(slot, g)
+                start_scatter(slot, g)
+            return 0
+
+        jax.lax.fori_loop(0, ec // 2, body, 0)
+        wait_scatter(0)
+        wait_scatter(1)
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("params", "t1", "t2", "ec"),
+    donate_argnums=(0,),
+)
+def fused_static_level(
+    W_rows: jnp.ndarray,
+    desc: jnp.ndarray,
+    params: FieldParams = BN254_FR,
+    t1: int = 0,
+    t2: int = 0,
+    ec: int = 2048,
+) -> jnp.ndarray:
+    """Solve one arith-static level in place on the witness-major panel.
+
+    W_rows: (NW, L, S, 128); desc: (E_pad, DW) int32 (E_pad a multiple of
+    ``ec``); returns the updated panel (same buffer, donated)."""
+    NW, _, S, _ = W_rows.shape
+    E, dw = desc.shape
+    assert E % ec == 0 and ec % 2 == 0
+    n_opnd = t1 + 2 * t2
+    grid = (E // ec,)
+    kernel = _make_level_kernel(params, t1, t2, ec, S, dw)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(W_rows.shape, jnp.uint32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ec, dw), lambda c: (c, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, max(1, n_opnd), L, S, 128), jnp.uint32),
+            pltpu.VMEM((2, L, S, 128), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2, max(1, n_opnd))),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        input_output_aliases={1: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(desc, W_rows)
+
+
+# ---------------------------------------------------------------------------
+# jnp reference (for tests)
+# ---------------------------------------------------------------------------
+
+
+def fused_static_level_ref(W_rows, desc, params, t1, t2):
+    """Pure-jnp oracle with identical semantics (slow; tests only)."""
+    from ..fields.jnp_ops import LimbContext
+
+    ctx = LimbContext(params)
+    W = from_rows(W_rows)  # (B, NW, L)
+    E = desc.shape[0]
+    off_mul = t1
+    off_out = t1 + 2 * t2
+    off_lc = off_out + 1
+    off_mc = off_lc + t1 * L
+    off_qc = off_mc + t2 * L
+    B = W.shape[0]
+    for g in range(E):
+        acc = jnp.broadcast_to(
+            jnp.asarray(desc[g, off_qc : off_qc + L], jnp.uint32), (B, L)
+        )
+        for t in range(t1):
+            val = W[:, int(desc[g, t])]
+            coeff = jnp.asarray(
+                desc[g, off_lc + t * L : off_lc + (t + 1) * L], jnp.uint32
+            )
+            acc = ctx.add(acc, ctx.mont_mul(coeff[None], val))
+        for t in range(t2):
+            v1 = W[:, int(desc[g, off_mul + 2 * t])]
+            v2 = W[:, int(desc[g, off_mul + 2 * t + 1])]
+            coeff = jnp.asarray(
+                desc[g, off_mc + t * L : off_mc + (t + 1) * L], jnp.uint32
+            )
+            prod = ctx.mont_mul(v1, v2)
+            acc = ctx.add(acc, ctx.mont_mul(coeff[None], prod))
+        W = W.at[:, int(desc[g, off_out])].set(acc)
+    return to_rows(W)

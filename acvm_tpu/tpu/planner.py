@@ -574,7 +574,15 @@ class _Planner:
             self._mark_known(out_x, level_idx)
             self._mark_known(out_y, level_idx)
             return
-        if isinstance(call, ops.BBSchnorrVerify) and len(call.signature) == 64:
+        from ..blackbox.grumpkin import schnorr_challenge_hook
+
+        if (
+            isinstance(call, ops.BBSchnorrVerify)
+            and len(call.signature) == 64
+            # A Python challenge hook can't run inside the device kernel:
+            # route hooked Schnorr through the bit-exact host stage.
+            and schnorr_challenge_hook() is None
+        ):
             reads = [int(fi.witness) for fi in call.get_inputs_vec()]
             level_idx = max(self._witness_level(w) for w in reads) + 1
             self._level(level_idx).schnorr.append(

@@ -1006,16 +1006,29 @@ class BatchSolver:
         this environment is the scarce resource).  Gate counts are padded up
         to a power-of-two bucket so nearby levels share a shape (< 2x padded
         compute worst case, and padding gates cost no HBM writes beyond the
-        scratch column)."""
+        scratch column).
+
+        Each scan group (and each standalone arith_static level) also carries
+        a packed descriptor table for the fused gather->CIOS->scatter kernel
+        (`fused_level.py`); `_segment_fn` picks that route when the batch
+        shape allows it."""
+        from .fused_level import pack_level_desc
+
+        scratch = self.plan.num_witnesses
 
         def key(packed):
             if packed["kinds"] != ["arith_static"]:
                 return None
             buf = packed["arith_static"]
             E = buf["u_idx"].shape[0]
-            bucket = 1 << max(0, (E - 1).bit_length())
+            bucket = max(2, 1 << max(0, (E - 1).bit_length()))
             return (bucket, buf["num"]["lin_idx"].shape[1:],
                     buf["num"]["mul_idx"].shape[1:])
+
+        def fused_desc(buf, bucket):
+            t1 = buf["num"]["lin_idx"].shape[1]
+            t2 = buf["num"]["mul_idx"].shape[1]
+            return pack_level_desc(buf, scratch, pad_to=bucket), (t1, t2)
 
         groups: List[object] = []
         run: List[dict] = []
@@ -1025,12 +1038,16 @@ class BatchSolver:
             nonlocal run, run_key
             if len(run) >= 2:
                 bucket = run_key[0]
-                groups.append(
-                    ("scan", [self._pad_static_level(p["arith_static"], bucket)
-                              for p in run])
-                )
-            else:
-                groups.extend(("level", p) for p in run)
+                bufs = [self._pad_static_level(p["arith_static"], bucket)
+                        for p in run]
+                descs = [fused_desc(p["arith_static"], bucket)[0] for p in run]
+                tshape = fused_desc(run[0]["arith_static"], bucket)[1]
+                groups.append(("scan", bufs, np.stack(descs), tshape))
+            elif run:
+                p = run[0]
+                bucket = run_key[0]
+                desc, tshape = fused_desc(p["arith_static"], bucket)
+                groups.append(("level", p, desc, tshape))
             run, run_key = [], None
 
         for packed in levels:
@@ -1040,11 +1057,26 @@ class BatchSolver:
                 continue
             flush()
             if k is None:
-                groups.append(("level", packed))
+                groups.append(("level", packed, None, None))
             else:
                 run, run_key = [packed], k
         flush()
         return groups
+
+    def _fused_eligible(self, B: int) -> bool:
+        """The fused gather->CIOS->scatter level kernel (fused_level.py):
+        TPU backend, batch a multiple of 1024 (8 sublanes x 128 lanes of
+        uint32 per limb vreg).  ACVM_TPU_NO_FUSED=1 disables."""
+        import os
+
+        if os.environ.get("ACVM_TPU_NO_FUSED"):
+            return False
+        if B % 1024 != 0:
+            return False
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:
+            return False
 
     def _segment_fn(self, seg_index: int):
         fn = self._segment_fns.get(seg_index)
@@ -1055,20 +1087,61 @@ class BatchSolver:
 
             @jax.jit
             def run(W, ok, fail, mem):
-                for kind, item in groups:
-                    if kind == "scan":
+                from .fused_level import (
+                    fused_level_call,
+                    from_rows,
+                    to_rows,
+                )
+
+                fused_ok = self._fused_eligible(int(W.shape[0]))
+                W_rows = None  # non-None while the panel is witness-major
+
+                def enter_rows(W, W_rows):
+                    return (None, to_rows(W)) if W_rows is None else (W, W_rows)
+
+                def leave_rows(W, W_rows):
+                    return (from_rows(W_rows), None) if W is None else (W, W_rows)
+
+                for group in groups:
+                    kind, item = group[0], group[1]
+                    desc, tshape = group[2], group[3]
+                    if kind == "scan" and fused_ok:
+                        W, W_rows = enter_rows(W, W_rows)
+                        t1, t2 = tshape
+
+                        def body(Wr, d):
+                            return (
+                                fused_level_call(
+                                    Wr, d, ctx.params, t1, t2
+                                ),
+                                None,
+                            )
+
+                        W_rows, _ = jax.lax.scan(
+                            body, W_rows, jnp.asarray(desc)
+                        )
+                    elif kind == "level" and desc is not None and fused_ok:
+                        W, W_rows = enter_rows(W, W_rows)
+                        t1, t2 = tshape
+                        W_rows = fused_level_call(
+                            W_rows, jnp.asarray(desc), ctx.params, t1, t2
+                        )
+                    elif kind == "scan":
+                        W, W_rows = leave_rows(W, W_rows)
                         stacked = jax.tree_util.tree_map(
                             lambda *xs: np.stack(xs), *item
                         )
 
-                        def body(carry, xs):
+                        def sbody(carry, xs):
                             Wc, okc = carry
                             Wc, okc = run_arith_solve_static(ctx, Wc, okc, xs)
                             return (Wc, okc), None
 
-                        (W, ok), _ = jax.lax.scan(body, (W, ok), stacked)
+                        (W, ok), _ = jax.lax.scan(sbody, (W, ok), stacked)
                     else:
+                        W, W_rows = leave_rows(W, W_rows)
                         W, ok, fail, mem = self._run_level(W, ok, fail, mem, item)
+                W, W_rows = leave_rows(W, W_rows)
                 return W, ok, fail, mem
 
             fn = run
@@ -1360,19 +1433,86 @@ class BatchSolver:
             state = shard_batch(state, self.mesh)
         return state
 
+    def max_batch_per_pass(self) -> int:
+        """Largest instance count whose witness panel fits the per-pass HBM
+        budget (ACVM_TPU_HBM_BUDGET_GB, default 10 — leaves room for kernel
+        scratch, descriptors and donation slack on a 16 GB chip).  The
+        north-star 10k-instance batches exceed any single panel for 2^16-gate
+        circuits; :meth:`solve` streams them through passes of this size."""
+        import os
+
+        env = os.environ.get("ACVM_TPU_MAX_BATCH_PER_PASS")
+        if env:
+            return int(env)
+        budget = float(os.environ.get("ACVM_TPU_HBM_BUDGET_GB", "10"))
+        bytes_per_instance = (
+            (self.plan.num_witnesses + 1) * NUM_LIMBS * 4
+            + sum(
+                size * NUM_LIMBS * 4
+                for size in self.plan.memory_block_sizes.values()
+            )
+        )
+        limit = int(budget * (1 << 30) / max(1, bytes_per_instance))
+        # Round to the fused kernel's batch granule when possible.
+        if limit >= 2048:
+            limit -= limit % 1024
+        return max(1, limit)
+
+    @staticmethod
+    def _slice_inputs(input_values, lo: int, hi: int):
+        if isinstance(input_values, dict):
+            return {w: a[lo:hi] for w, a in input_values.items()}
+        return input_values[lo:hi]
+
+    def solve_chunks(self, input_values, chunk: Optional[int] = None,
+                     stats=None):
+        """Stream a large batch through HBM-sized passes: yields one
+        :class:`BatchResult` per chunk.  Consumers that need full witness
+        panels read each chunk before the next is produced (two panels never
+        coexist on device).  Instances are independent, so chunking is
+        bit-equivalent to one giant pass — the 10k-instance north star on a
+        single chip (multi-chip setups shard the batch axis over the mesh
+        instead; see `parallel`)."""
+        if isinstance(input_values, dict):
+            B = len(next(iter(input_values.values()))) if input_values else 0
+        else:
+            B = len(input_values)
+        chunk = chunk or self.max_batch_per_pass()
+        for lo in range(0, B, chunk):
+            yield self.solve(
+                self._slice_inputs(input_values, lo, min(lo + chunk, B)),
+                stats=stats,
+            )
+
     def solve(self, input_values, stats=None):
         """Solve a batch.  ``input_values`` is either a sequence of
         per-instance ``{witness_index: int}`` dicts, or the columnar form
-        ``{witness_index: (B,) array}`` (see :meth:`initial_state`)."""
+        ``{witness_index: (B,) array}`` (see :meth:`initial_state`).
+
+        Batches larger than :meth:`max_batch_per_pass` are solved in
+        streamed passes; the returned result then carries per-instance
+        ok/fail for the whole batch but only the LAST chunk's witness panel
+        (use :meth:`solve_chunks` to consume every panel)."""
         from ..utils.profiling import Timer
 
+        if isinstance(input_values, dict):
+            B = len(next(iter(input_values.values()))) if input_values else 0
+        else:
+            B = len(input_values)
+        limit = self.max_batch_per_pass()
+        if B > limit:
+            oks, fails, last = [], [], None
+            for result in self.solve_chunks(input_values, limit, stats=stats):
+                oks.append(result.ok)
+                fails.append(result.fail)
+                last = result
+            out = BatchResult(
+                self, last._W, np.concatenate(oks), np.concatenate(fails)
+            )
+            return out
+
         if stats is not None:
-            if isinstance(input_values, dict):
-                stats.batch = (
-                    len(next(iter(input_values.values()))) if input_values else 0
-                )
-            else:
-                stats.batch = len(input_values)
+            stats.batch = B
             stats.total_ops = self.plan.total_ops()
         with Timer() as t_pack:
             W, ok, fail, mem = self.initial_state(input_values)

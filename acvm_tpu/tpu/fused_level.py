@@ -84,9 +84,28 @@ def from_rows(W_rows: jnp.ndarray) -> jnp.ndarray:
 
 def desc_width(t1: int, t2: int) -> int:
     """int32 words per gate: [lin_idx t1 | mul_idx 2*t2 | out_idx |
-    lin_coeff t1*L | mul_coeff t2*L | qc L], padded to a lane multiple."""
-    dw = t1 + 2 * t2 + 1 + L * (t1 + t2 + 1)
-    return ((dw + 127) // 128) * 128
+    lin_coeff t1*L | mul_coeff t2*L | qc L].  No lane padding: the table
+    lives in SMEM (scalar memory, 1 MiB/core on v5e — the hardware rejected
+    a lane-padded 2 MiB double-buffered block), where only total bytes
+    matter."""
+    return t1 + 2 * t2 + 1 + L * (t1 + t2 + 1)
+
+
+# SMEM budget for the double-buffered descriptor block (bytes); the core has
+# 1 MiB total, leave headroom for spill slots and the runtime's own scalars.
+# The descriptor is stored TRANSPOSED — (DW, E) with the gate axis minor —
+# because SMEM windows pad the minor dimension to 128 words; with gates
+# minor the padding is free (chunks are >= 128 gates).
+_DESC_SMEM_BUDGET = 640 * 1024
+
+
+def pick_chunk(E: int, dw: int, ec_max: int = 2048) -> int:
+    """Largest even power-of-two chunk <= ec_max dividing E whose
+    double-buffered SMEM footprint fits the budget."""
+    ec = min(E, ec_max)
+    while ec > 2 and dw * max(ec, 128) * 4 * 2 > _DESC_SMEM_BUDGET:
+        ec //= 2
+    return ec
 
 
 def pack_level_desc(
@@ -123,7 +142,7 @@ def pack_level_desc(
         desc[:E, o : o + t2 * L] = num["mul_coeff"].reshape(E, t2 * L)
         o += t2 * L
     desc[:E, o : o + L] = num["qc"]
-    return desc
+    return np.ascontiguousarray(desc.T)  # (DW, E): gate axis minor for SMEM
 
 
 # ---------------------------------------------------------------------------
@@ -150,13 +169,13 @@ def _make_level_kernel(
     def kernel(desc_ref, W_ref, Wout_ref, opnd, outbuf, in_sem, out_sem):
         def start_gathers(slot, g):
             for t in range(t1):
-                idx = desc_ref[g, off_lin + t]
+                idx = desc_ref[off_lin + t, g]
                 pltpu.make_async_copy(
                     W_ref.at[idx], opnd.at[slot, t], in_sem.at[slot, t]
                 ).start()
             for t in range(t2):
-                i1 = desc_ref[g, off_mul + 2 * t]
-                i2 = desc_ref[g, off_mul + 2 * t + 1]
+                i1 = desc_ref[off_mul + 2 * t, g]
+                i2 = desc_ref[off_mul + 2 * t + 1, g]
                 pltpu.make_async_copy(
                     W_ref.at[i1], opnd.at[slot, t1 + 2 * t],
                     in_sem.at[slot, t1 + 2 * t],
@@ -176,7 +195,7 @@ def _make_level_kernel(
         def compute(slot, g):
             # accumulator starts at qc
             acc = [
-                jnp.full((s, 128), desc_ref[g, off_qc + j], jnp.uint32)
+                jnp.full((s, 128), desc_ref[off_qc + j, g], jnp.uint32)
                 for j in range(L)
             ]
             bound = 1
@@ -189,7 +208,7 @@ def _make_level_kernel(
 
             for t in range(t1):
                 a = [
-                    (lambda j=j, t=t: desc_ref[g, off_lc + t * L + j]
+                    (lambda j=j, t=t: desc_ref[off_lc + t * L + j, g]
                      .astype(jnp.uint32))
                     for j in range(L)
                 ]
@@ -201,7 +220,7 @@ def _make_level_kernel(
                 v2 = [opnd[slot, t1 + 2 * t + 1, j] for j in range(L)]
                 prod = normalize(cios_unrolled(v1, v2, pl_, n0))  # < 2p
                 a = [
-                    (lambda j=j, t=t: desc_ref[g, off_mc + t * L + j]
+                    (lambda j=j, t=t: desc_ref[off_mc + t * L + j, g]
                      .astype(jnp.uint32))
                     for j in range(L)
                 ]
@@ -215,7 +234,7 @@ def _make_level_kernel(
 
         def start_scatter(slot, g):
             pltpu.make_async_copy(
-                outbuf.at[slot], Wout_ref.at[desc_ref[g, off_out]],
+                outbuf.at[slot], Wout_ref.at[desc_ref[off_out, g]],
                 out_sem.at[slot],
             ).start()
 
@@ -224,21 +243,26 @@ def _make_level_kernel(
                 outbuf.at[slot], Wout_ref.at[0], out_sem.at[slot]
             ).wait()
 
-        # Two-slot pipeline, statically unrolled (slots 0/1): gate pair
-        # (2k, 2k+1); gathers for the next gate start before computing the
-        # current one.
+        # Two-slot pipeline, statically unrolled (slots 0/1, gate pair
+        # (2k, 2k+1)).  One gate of lookahead: gate g+1's gathers (into the
+        # OTHER slot) start right before computing gate g, so its DMA
+        # overlaps the ~computed gate's CIOS chain.  (A stride-2 prefetch
+        # into the SAME slot raced the in-flight compute — caught only on
+        # real hardware; the interpreter runs DMAs synchronously.)
         start_gathers(0, 0)
-        start_gathers(1, 1)
 
         def body(k, _):
             g0 = 2 * k
             for slot in (0, 1):
                 g = g0 + slot
+                nxt = 1 - slot
                 wait_gathers(slot, g)
-                # the next gate for this slot is g + 2
-                @pl.when(g + 2 < ec)
+                # Prefetch the next gate into the other slot: when slot==1,
+                # gate g+1 lands in slot 0, whose previous occupant (g-1)
+                # has already been computed this iteration.
+                @pl.when(g + 1 < ec)
                 def _():
-                    start_gathers(slot, g + 2)
+                    start_gathers(nxt, g + 1)
 
                 @pl.when(k > 0)
                 def _():
@@ -255,12 +279,7 @@ def _make_level_kernel(
     return kernel
 
 
-@partial(
-    jax.jit,
-    static_argnames=("params", "t1", "t2", "ec"),
-    donate_argnums=(0,),
-)
-def fused_static_level(
+def fused_level_call(
     W_rows: jnp.ndarray,
     desc: jnp.ndarray,
     params: FieldParams = BN254_FR,
@@ -271,9 +290,12 @@ def fused_static_level(
     """Solve one arith-static level in place on the witness-major panel.
 
     W_rows: (NW, L, S, 128); desc: (E_pad, DW) int32 (E_pad a multiple of
-    ``ec``); returns the updated panel (same buffer, donated)."""
+    ``ec``); returns the updated panel (aliased with the input — callers
+    under jit should donate/chain the buffer).  Callable inside an outer
+    jit; :func:`fused_static_level` is the standalone jitted wrapper."""
     NW, _, S, _ = W_rows.shape
-    E, dw = desc.shape
+    dw, E = desc.shape
+    ec = pick_chunk(E, dw, ec)
     assert E % ec == 0 and ec % 2 == 0
     n_opnd = t1 + 2 * t2
     grid = (E // ec,)
@@ -283,7 +305,7 @@ def fused_static_level(
         out_shape=jax.ShapeDtypeStruct(W_rows.shape, jnp.uint32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((ec, dw), lambda c: (c, 0),
+            pl.BlockSpec((dw, ec), lambda c: (0, c),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -299,6 +321,22 @@ def fused_static_level(
     )(desc, W_rows)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("params", "t1", "t2", "ec"),
+    donate_argnums=(0,),
+)
+def fused_static_level(
+    W_rows: jnp.ndarray,
+    desc: jnp.ndarray,
+    params: FieldParams = BN254_FR,
+    t1: int = 0,
+    t2: int = 0,
+    ec: int = 2048,
+) -> jnp.ndarray:
+    return fused_level_call(W_rows, desc, params, t1, t2, ec)
+
+
 # ---------------------------------------------------------------------------
 # jnp reference (for tests)
 # ---------------------------------------------------------------------------
@@ -310,6 +348,7 @@ def fused_static_level_ref(W_rows, desc, params, t1, t2):
 
     ctx = LimbContext(params)
     W = from_rows(W_rows)  # (B, NW, L)
+    desc = np.asarray(desc).T  # back to (E, DW) for host-side reads
     E = desc.shape[0]
     off_mul = t1
     off_out = t1 + 2 * t2

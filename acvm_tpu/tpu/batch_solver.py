@@ -90,6 +90,22 @@ def _build_panel(cols: jnp.ndarray, vals: jnp.ndarray, nw: int) -> jnp.ndarray:
     return W.at[:, cols].set(vals)
 
 
+@partial(jax.jit, static_argnames=("nw",))
+def _build_panel_rows(
+    cols: jnp.ndarray, vals: jnp.ndarray, nw: int
+) -> jnp.ndarray:
+    """Witness-major variant: -> (nw, L, S, 128) with B = S*128.  Built
+    directly in the fused-kernel layout so no full-panel transpose ever
+    materializes (the naive to_rows doubled peak HBM)."""
+    B, K, nl = vals.shape
+    if nl < NUM_LIMBS:
+        vals = jnp.pad(vals, ((0, 0), (0, 0), (0, NUM_LIMBS - nl)))
+    S = B // 128
+    vrows = vals.transpose(1, 2, 0).reshape(K, NUM_LIMBS, S, 128)
+    W = jnp.zeros((nw, NUM_LIMBS, S, 128), dtype=jnp.uint32)
+    return W.at[cols].set(vrows)
+
+
 def _to_host_np(x) -> np.ndarray:
     """Host numpy copy of a device array.  On a multi-process mesh the batch
     shards live on different hosts, so non-fully-addressable arrays are
@@ -1073,6 +1089,10 @@ class BatchSolver:
             return False
         if B % 1024 != 0:
             return False
+        if self.mesh is not None:
+            # Sharded solves keep the batch-major layout (the mesh shards
+            # axis 0); rows-layout sharding lands with the multi-chip work.
+            return False
         try:
             return jax.default_backend() == "tpu"
         except Exception:
@@ -1093,8 +1113,20 @@ class BatchSolver:
                     to_rows,
                 )
 
-                fused_ok = self._fused_eligible(int(W.shape[0]))
-                W_rows = None  # non-None while the panel is witness-major
+                # Canonical layout is whatever the caller handed us: 4-D =
+                # witness-major rows (the fused-path layout, built directly by
+                # initial_state so NO full-panel transpose ever runs — a
+                # to_rows inside this jit doubled peak HBM and OOMed B=2048),
+                # 3-D = legacy batch-major.  Groups convert locally only when
+                # they must.
+                rows_in = W.ndim == 4
+                if rows_in:
+                    B = int(W.shape[2]) * int(W.shape[3])
+                    W_rows, W = W, None
+                else:
+                    B = int(W.shape[0])
+                    W_rows = None
+                fused_ok = self._fused_eligible(B)
 
                 def enter_rows(W, W_rows):
                     return (None, to_rows(W)) if W_rows is None else (W, W_rows)
@@ -1141,6 +1173,10 @@ class BatchSolver:
                     else:
                         W, W_rows = leave_rows(W, W_rows)
                         W, ok, fail, mem = self._run_level(W, ok, fail, mem, item)
+                # Return in the caller's layout.
+                if rows_in:
+                    W, W_rows = enter_rows(W, W_rows)
+                    return W_rows, ok, fail, mem
                 W, W_rows = leave_rows(W, W_rows)
                 return W, ok, fail, mem
 
@@ -1158,10 +1194,9 @@ class BatchSolver:
 
         from . import host_batch
 
-        W_np = _to_host_np(W)
+        rows_layout = W.ndim == 4  # witness-major fused-path panel
         ok_np = _to_host_np(ok).copy()
         fail_np = _to_host_np(fail).copy()
-        B = W_np.shape[0]
         p = self.plan.params.modulus
 
         # Columns worth materializing as Python ints: only the witnesses the
@@ -1175,9 +1210,23 @@ class BatchSolver:
             needed.update(stage.reads if stage.reads else stage.known_before)
             writes.update(stage.writes)
         cols = sorted(needed)
-        ints = np.zeros((B, len(cols)), dtype=object)
-        for li in range(NUM_LIMBS):
-            ints += W_np[:, cols, li].astype(object) << (LIMB_BITS * li)
+        if rows_layout:
+            # Read only the needed witness rows off the device — never the
+            # full panel (8 GB at B=2048 on the 2^16-gate circuit).
+            B = int(W.shape[2]) * int(W.shape[3])
+            sel = np.asarray(
+                jnp.take(W, jnp.asarray(cols, jnp.int32), axis=0)
+            ).reshape(len(cols), NUM_LIMBS, B)
+            ints = np.zeros((B, len(cols)), dtype=object)
+            for li in range(NUM_LIMBS):
+                ints += sel[:, li, :].T.astype(object) << (LIMB_BITS * li)
+            W_np = None
+        else:
+            W_np = _to_host_np(W)
+            B = W_np.shape[0]
+            ints = np.zeros((B, len(cols)), dtype=object)
+            for li in range(NUM_LIMBS):
+                ints += W_np[:, cols, li].astype(object) << (LIMB_BITS * li)
         # Column store shared by every stage: batched stages read/write (B,)
         # object arrays; later stages see earlier stages' outputs.
         col_arrays: Dict[int, np.ndarray] = {
@@ -1306,16 +1355,22 @@ class BatchSolver:
             # Multi-process mesh: a per-column device scatter would mix
             # process-local update operands with a global array, so rebuild
             # the panel from the gathered host copy and re-shard the batch
-            # axis over the mesh.
+            # axis over the mesh.  (Sharded solves never use the rows layout.)
             if limbs is not None:
                 W_np[:, write_cols] = limbs
             from ..parallel import shard_batch
 
             return shard_batch((W_np, ok_np, fail_np), self.mesh)
         if limbs is not None:
-            W = jnp.asarray(W).at[:, np.asarray(write_cols, np.int32)].set(
-                jnp.asarray(limbs)
-            )
+            idx = np.asarray(write_cols, np.int32)
+            if rows_layout:
+                S = int(W.shape[2])
+                rows = np.ascontiguousarray(
+                    limbs.transpose(1, 2, 0)
+                ).reshape(len(write_cols), NUM_LIMBS, S, 128)
+                W = jnp.asarray(W).at[idx].set(jnp.asarray(rows))
+            else:
+                W = jnp.asarray(W).at[:, idx].set(jnp.asarray(limbs))
         return W, jnp.asarray(ok_np), jnp.asarray(fail_np)
 
     # -- public API ----------------------------------------------------------
@@ -1408,18 +1463,29 @@ class BatchSolver:
         columns, the witness panel is built ON DEVICE (zeros + one scatter,
         one jitted program): uploading the dense zero-padded panel cost
         ~0.9 s/solve at B=1024 on the tunneled link — 100x the actual device
-        work for gadget circuits."""
+        work for gadget circuits.  Fused-eligible batches build the panel
+        directly in the witness-major rows layout (see fused_level.py)."""
+        nw = self.plan.num_witnesses + 1
+        rows_mode = self.mesh is None and self._fused_eligible(B)
         if W is not None:
-            Wd = jnp.asarray(W)
+            if rows_mode:
+                S = B // 128
+                Wd = jnp.asarray(
+                    np.ascontiguousarray(W.transpose(1, 2, 0)).reshape(
+                        nw, NUM_LIMBS, S, 128
+                    )
+                )
+            else:
+                Wd = jnp.asarray(W)
         elif cols is not None and cols.size:
-            Wd = _build_panel(
-                jnp.asarray(cols), jnp.asarray(vals),
-                self.plan.num_witnesses + 1,
+            build = _build_panel_rows if rows_mode else _build_panel
+            Wd = build(jnp.asarray(cols), jnp.asarray(vals), nw)
+        elif rows_mode:
+            Wd = jnp.zeros(
+                (nw, NUM_LIMBS, B // 128, 128), dtype=jnp.uint32
             )
         else:
-            Wd = jnp.zeros(
-                (B, self.plan.num_witnesses + 1, NUM_LIMBS), dtype=jnp.uint32
-            )
+            Wd = jnp.zeros((B, nw, NUM_LIMBS), dtype=jnp.uint32)
         ok = jnp.ones((B,), dtype=bool)
         fail = jnp.full((B,), FAIL_NONE, dtype=jnp.int32)
         mem = {
@@ -1568,8 +1634,15 @@ class BatchResult:
 
     @property
     def W(self) -> np.ndarray:
+        """Host copy in the batch-major (B, num_w, L) layout (rows-layout
+        panels are converted on the host)."""
         if not isinstance(self._W, np.ndarray):
             self._W = _to_host_np(self._W)
+        if self._W.ndim == 4:
+            NW, L_, S, lanes = self._W.shape
+            self._W = np.ascontiguousarray(
+                self._W.reshape(NW, L_, S * lanes).transpose(2, 0, 1)
+            )
         return self._W
 
     @property
@@ -1605,6 +1678,15 @@ class BatchResult:
         return self.solver.plan.circuit.get_assert_message(location)
 
     def witness_ints(self, witness_index: int) -> List[int]:
+        # Rows-layout device panel: read ONE witness row (64 KB at B=1024)
+        # instead of materializing the whole panel on the host.
+        if not isinstance(self._W, np.ndarray) and self._W.ndim == 4:
+            row = np.asarray(self._W[witness_index])  # (L, S, 128)
+            col = row.reshape(NUM_LIMBS, -1).astype(object)  # (L, B)
+            acc = np.zeros((col.shape[1],), dtype=object)
+            for li in range(NUM_LIMBS):
+                acc += col[li] << (LIMB_BITS * li)
+            return [int(v) for v in acc]
         col = self.W[:, witness_index].astype(object)
         acc = np.zeros((self.W.shape[0],), dtype=object)
         for li in range(NUM_LIMBS):

@@ -31,7 +31,7 @@ and retries instead of clamping (the round-3 clamp could inflate rates).
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Environment knobs: BENCH_BATCH (default 1024), BENCH_LEVELS (8),
+Environment knobs: BENCH_BATCH (default 2048), BENCH_LEVELS (8),
 BENCH_GATES_PER_LEVEL (8192), BENCH_MIN_BATCH (8), BENCH_EXTRAS (=0 to skip),
 BENCH_EXTRA_TIMEOUT (seconds per extra subprocess, default 900).
 """
@@ -198,7 +198,8 @@ def _solve_throughput(batch: int, levels: int, gates_per_level: int):
     seq_elapsed = time.perf_counter() - seq_t0
     expected = acvm.finalize()
     last = circuit.current_witness_index
-    got = BatchResult(solver, np.asarray(W), np.asarray(ok)).witness_ints(last)[0]
+    # keep W on device: BatchResult reads one witness ROW, not the panel
+    got = BatchResult(solver, W, np.asarray(ok)).witness_ints(last)[0]
     assert got == int(expected.get(Witness(last))), "device result mismatch"
     del acvm, expected, wm
 
@@ -363,7 +364,7 @@ def _run_extra(name: str, batch: int):
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    batch = int(os.environ.get("BENCH_BATCH", "2048"))
     min_batch = int(os.environ.get("BENCH_MIN_BATCH", "8"))
     levels = int(os.environ.get("BENCH_LEVELS", "8"))
     gates_per_level = int(os.environ.get("BENCH_GATES_PER_LEVEL", "8192"))

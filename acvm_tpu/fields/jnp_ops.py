@@ -250,7 +250,9 @@ class LimbContext:
         is_zero = jnp.all(a == 0, axis=-1, keepdims=True)
         return jnp.where(is_zero, jnp.zeros_like(acc), acc)
 
-    def mont_batch_inv(self, a: jnp.ndarray, axis: int = -2) -> jnp.ndarray:
+    def mont_batch_inv(
+        self, a: jnp.ndarray, axis: int = -2, max_scan: int = 256
+    ) -> jnp.ndarray:
         """Montgomery's batch-inversion trick along ``axis``: log-depth
         prefix/suffix product scans amortize ONE Fermat chain over the whole
         axis (~(4·G + 380/G)·B montmuls instead of ~380·G·B for G values per
@@ -259,14 +261,43 @@ class LimbContext:
         The scan axis should be a per-instance axis (gates per level, group
         chunks), never the sharded batch axis — cross-element products along
         a mesh-sharded axis would compile to collectives.
+
+        Axes longer than ``max_scan`` are processed in sequential chunks
+        (one lax.scan step per chunk): the associative-scan intermediates
+        carry the full (..., 128-lane-padded) panel, and one big scan over
+        thousands of gates at batch 2048 held ~14 GB of 8x-padded temps —
+        chunking bounds the peak at one chunk's worth.
         """
         if a.shape[axis] == 1:
             return self.mont_inv(a)
+        a_m = jnp.moveaxis(a, axis, 0)  # (G, ..., L)
+        G = a_m.shape[0]
+        if G > max_scan:
+            gc = max_scan
+            C = -(-G // gc)
+            pad = C * gc - G
+            if pad:
+                one = jnp.broadcast_to(
+                    self.r_limbs, (pad,) + a_m.shape[1:]
+                ).astype(jnp.uint32)
+                a_m = jnp.concatenate([a_m, one], axis=0)
+            chunks = a_m.reshape((C, gc) + a_m.shape[1:])
+
+            def body(_, chunk):
+                return None, self._batch_inv_axis0(chunk)
+
+            _, inv = jax.lax.scan(body, None, chunks)
+            inv = inv.reshape((C * gc,) + inv.shape[2:])[:G]
+        else:
+            inv = self._batch_inv_axis0(a_m)
+        return jnp.moveaxis(inv, 0, axis)
+
+    def _batch_inv_axis0(self, a_m: jnp.ndarray) -> jnp.ndarray:
+        """Batch inversion along axis 0 (the prefix/suffix-product core)."""
         # Trace-time telemetry: lets benches/tests assert the batched trick
         # (one amortized Fermat chain) ran instead of per-value chains.
         global BATCH_INV_TRACES
         BATCH_INV_TRACES += 1
-        a_m = jnp.moveaxis(a, axis, 0)  # (G, ..., L)
         is_zero = jnp.all(a_m == 0, axis=-1, keepdims=True)
         one = jnp.broadcast_to(self.r_limbs, a_m.shape).astype(jnp.uint32)
         b = jnp.where(is_zero, one, a_m)
@@ -277,8 +308,7 @@ class LimbContext:
         pre = jnp.concatenate([one[:1], prefix[:-1]], axis=0)
         suf = jnp.concatenate([suffix[1:], one[:1]], axis=0)
         inv = self.mont_mul(self.mont_mul(pre, suf), total_inv[None])
-        inv = jnp.where(is_zero, jnp.zeros_like(inv), inv)
-        return jnp.moveaxis(inv, 0, axis)
+        return jnp.where(is_zero, jnp.zeros_like(inv), inv)
 
     def mont_inv_grouped(self, a: jnp.ndarray, group: int = 32) -> jnp.ndarray:
         """Batch-invert a flat (..., L) array by folding the trailing batch

@@ -609,6 +609,11 @@ class BatchSolver:
         # Deep circuits produce many levels; bounding levels-per-jit keeps each
         # compiled graph a manageable size (several jits instead of one huge one).
         self.max_levels_per_segment = max_levels_per_segment
+        self._has_static_arith = any(
+            g.neg_inv_den_r is not None
+            for level in plan.levels
+            for g in level.arith_solve
+        )
         self.segments = self._build_segments()
         self._segment_fns: Dict[int, Callable] = {}
         from ..utils.logging import get_logger
@@ -1092,6 +1097,10 @@ class BatchSolver:
         if self.mesh is not None:
             # Sharded solves keep the batch-major layout (the mesh shards
             # axis 0); rows-layout sharding lands with the multi-chip work.
+            return False
+        if not self._has_static_arith:
+            # No fused-solvable gates: the rows layout would only add
+            # panel-conversion copies around the other kernels.
             return False
         try:
             return jax.default_backend() == "tpu"

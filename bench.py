@@ -58,6 +58,7 @@ EXTRA_NAMES = [
     "pedersen_solves_per_sec",
     "dyn_solves_per_sec",
     "mesh1_overhead_pct",
+    "b10k_solves_per_sec",
 ]
 
 
@@ -293,11 +294,50 @@ def _dyn_throughput(batch: int, levels: int, gates_per_level: int):
     return _rate_or_retry(once, batch * levels * gates_per_level)
 
 
+def _b10k_throughput():
+    """North-star shape (BASELINE.json): 10,240 instances of the 2^16-gate
+    circuit streamed through HBM-sized passes (solve_chunks) on one chip —
+    end-to-end through the public solve API, packing included, every
+    instance's ok flag checked."""
+    import time as _time
+
+    from acvm_tpu.tpu import BatchSolver, plan_circuit
+    from acvm_tpu.utils import build_wide_arith_circuit, random_inputs
+
+    B = 10240
+    levels, gpl = 8, 8192
+    circuit = build_wide_arith_circuit(num_levels=levels, gates_per_level=gpl)
+    solver = BatchSolver(plan_circuit(circuit))
+    inputs = random_inputs(circuit, B)
+    # warm-up/compile on one chunk
+    chunk = solver.max_batch_per_pass()
+    solver.solve(inputs[:chunk])
+    t0 = _time.perf_counter()
+    total_ok = 0
+    for result in solver.solve_chunks(inputs):
+        assert bool(result.ok.all())
+        total_ok += int(result.ok.shape[0])
+    elapsed = _time.perf_counter() - t0
+    assert total_ok == B
+    # Multi-second end-to-end run: the per-pass RTTs are part of the real
+    # cost here, so no RTT subtraction.
+    return B * levels * gpl / elapsed
+
+
 def _mesh1_overhead(batch: int, levels: int, gates_per_level: int):
     """Sharding-machinery cost without multi-chip hardware: the same solve
     through a 1-device jax.sharding.Mesh vs the plain path (BASELINE.json
-    configs 4-5 need the machinery; this measures its single-chip tax)."""
+    configs 4-5 need the machinery; this measures its single-chip tax).
+
+    Both sides run the legacy batch-major engine (ACVM_TPU_NO_FUSED):
+    sharded solves don't take the fused rows-layout path yet, so comparing
+    fused-plain vs legacy-sharded would report the engine difference
+    (~74%), not the sharding tax this metric is for."""
+    import os
+
     import jax
+
+    os.environ["ACVM_TPU_NO_FUSED"] = "1"
     from acvm_tpu.parallel import make_mesh
     from acvm_tpu.tpu import BatchSolver, plan_circuit
     from acvm_tpu.utils import build_wide_arith_circuit, random_inputs
@@ -346,7 +386,10 @@ def _setup_jax():
 
 
 def _run_extra(name: str, batch: int):
-    gbatch = int(os.environ.get("BENCH_GADGET_BATCH", "1024"))
+    # Hash gadget batches are large: the per-call overhead (one RTT for the
+    # ok-flag readback + columnar packing) amortizes over B*G gadget solves,
+    # and the panel at B=8192 is ~2.3 GB — well inside HBM.
+    gbatch = int(os.environ.get("BENCH_GADGET_BATCH", "8192"))
     if name == "sha256_solves_per_sec":
         return _gadget_throughput("sha256", gbatch, 8, 64)
     if name == "keccak256_solves_per_sec":
@@ -360,6 +403,8 @@ def _run_extra(name: str, batch: int):
         return _dyn_throughput(batch, 4, 4096)
     if name == "mesh1_overhead_pct":
         return _mesh1_overhead(batch, 2, 4096)
+    if name == "b10k_solves_per_sec":
+        return _b10k_throughput()
     raise ValueError(name)
 
 

@@ -106,6 +106,26 @@ def _build_panel_rows(
     return W.at[cols].set(vrows)
 
 
+@partial(jax.jit, static_argnames=("lo", "nw", "rows"))
+def _build_panel_narrow(
+    vals: jnp.ndarray, lo: int, nw: int, rows: bool
+) -> jnp.ndarray:
+    """Fast path for the common shape: a CONTIGUOUS witness range lo..lo+K
+    of <=16-bit values (hash-gadget byte inputs).  The panel materializes
+    from one zero-fill + one contiguous slice write — the general scatter
+    lowering cost ~0.25 s/call at B=8192 — and the upload ships the narrow
+    dtype (uint8/16), not 16 limbs.  ``vals``: (B, K) unsigned."""
+    B, K = vals.shape
+    v32 = vals.astype(jnp.uint32)
+    if rows:
+        S = B // 128
+        W = jnp.zeros((nw, NUM_LIMBS, S, 128), dtype=jnp.uint32)
+        rows_v = v32.T.reshape(K, 1, S, 128)
+        return W.at[lo : lo + K, 0:1].set(rows_v)
+    W = jnp.zeros((B, nw, NUM_LIMBS), dtype=jnp.uint32)
+    return W.at[:, lo : lo + K, 0:1].set(v32[:, :, None])
+
+
 def _to_host_np(x) -> np.ndarray:
     """Host numpy copy of a device array.  On a multi-process mesh the batch
     shards live on different hosts, so non-fully-addressable arrays are
@@ -1404,6 +1424,22 @@ class BatchSolver:
                 (int(w), np.asarray(a)) for w, a in input_values.items()
             )
             B = len(items[0][1]) if items else 0
+            # Fast path: contiguous witness range of narrow unsigned values
+            # (hash-gadget byte inputs) — one stacked (B, K) array, shipped
+            # in its native dtype, panel built by a contiguous slice write.
+            if items and all(
+                a.dtype.kind == "u" and a.dtype.itemsize <= 2
+                for _, a in items
+            ):
+                cols_arr = np.fromiter(
+                    (w for w, _ in items), np.int64, len(items)
+                )
+                lo = int(cols_arr[0])
+                if (cols_arr == np.arange(lo, lo + len(items))).all():
+                    vals2d = np.stack([a for _, a in items], axis=1)
+                    return self._finish_initial_state(
+                        B, narrow=(vals2d, lo)
+                    )
             nbytes = NUM_LIMBS * LIMB_BITS // 8
             # Minimal limb count: 16-bit limbs from the widest column dtype.
             nl = 1
@@ -1467,7 +1503,9 @@ class BatchSolver:
                 W[b, int(w)] = _limbs_of(int(v) % p)
         return self._finish_initial_state(B, W=W)
 
-    def _finish_initial_state(self, B: int, W=None, cols=None, vals=None):
+    def _finish_initial_state(
+        self, B: int, W=None, cols=None, vals=None, narrow=None
+    ):
         """Assemble the device state.  When given sparse (cols, vals) input
         columns, the witness panel is built ON DEVICE (zeros + one scatter,
         one jitted program): uploading the dense zero-padded panel cost
@@ -1476,7 +1514,12 @@ class BatchSolver:
         directly in the witness-major rows layout (see fused_level.py)."""
         nw = self.plan.num_witnesses + 1
         rows_mode = self.mesh is None and self._fused_eligible(B)
-        if W is not None:
+        if narrow is not None:
+            vals2d, lo = narrow
+            Wd = _build_panel_narrow(
+                jnp.asarray(vals2d), lo, nw, rows_mode
+            )
+        elif W is not None:
             if rows_mode:
                 S = B // 128
                 Wd = jnp.asarray(
@@ -1566,8 +1609,8 @@ class BatchSolver:
 
         Batches larger than :meth:`max_batch_per_pass` are solved in
         streamed passes; the returned result then carries per-instance
-        ok/fail for the whole batch but only the LAST chunk's witness panel
-        (use :meth:`solve_chunks` to consume every panel)."""
+        ok/fail for the whole batch but no witness panel (use
+        :meth:`solve_chunks` to consume per-chunk panels)."""
         from ..utils.profiling import Timer
 
         if isinstance(input_values, dict):
@@ -1576,15 +1619,16 @@ class BatchSolver:
             B = len(input_values)
         limit = self.max_batch_per_pass()
         if B > limit:
-            oks, fails, last = [], [], None
+            oks, fails = [], []
             for result in self.solve_chunks(input_values, limit, stats=stats):
                 oks.append(result.ok)
                 fails.append(result.fail)
-                last = result
-            out = BatchResult(
-                self, last._W, np.concatenate(oks), np.concatenate(fails)
+                # Drop each chunk's witness panel before the next pass
+                # allocates — two HBM-sized panels cannot coexist.
+                result.release()
+            return BatchResult(
+                self, None, np.concatenate(oks), np.concatenate(fails)
             )
-            return out
 
         if stats is not None:
             stats.batch = B
@@ -1641,10 +1685,20 @@ class BatchResult:
         # First failing opcode index per instance (FAIL_NONE when satisfied).
         self._fail = fail
 
+    def release(self) -> None:
+        """Free the witness panel (device or host).  Streamed consumers call
+        this between chunks so two HBM-sized panels never coexist."""
+        self._W = None
+
     @property
     def W(self) -> np.ndarray:
         """Host copy in the batch-major (B, num_w, L) layout (rows-layout
         panels are converted on the host)."""
+        if self._W is None:
+            raise RuntimeError(
+                "witness panel not retained (chunked solve aggregates only "
+                "ok/fail; use solve_chunks to consume per-chunk panels)"
+            )
         if not isinstance(self._W, np.ndarray):
             self._W = _to_host_np(self._W)
         if self._W.ndim == 4:
@@ -1689,7 +1743,11 @@ class BatchResult:
     def witness_ints(self, witness_index: int) -> List[int]:
         # Rows-layout device panel: read ONE witness row (64 KB at B=1024)
         # instead of materializing the whole panel on the host.
-        if not isinstance(self._W, np.ndarray) and self._W.ndim == 4:
+        if (
+            self._W is not None
+            and not isinstance(self._W, np.ndarray)
+            and self._W.ndim == 4
+        ):
             row = np.asarray(self._W[witness_index])  # (L, S, 128)
             col = row.reshape(NUM_LIMBS, -1).astype(object)  # (L, B)
             acc = np.zeros((col.shape[1],), dtype=object)

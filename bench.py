@@ -317,6 +317,7 @@ def _b10k_throughput():
     for result in solver.solve_chunks(inputs):
         assert bool(result.ok.all())
         total_ok += int(result.ok.shape[0])
+        result.release()  # two HBM-sized panels must never coexist
     elapsed = _time.perf_counter() - t0
     assert total_ok == B
     # Multi-second end-to-end run: the per-pass RTTs are part of the real

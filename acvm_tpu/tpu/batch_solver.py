@@ -106,24 +106,34 @@ def _build_panel_rows(
     return W.at[cols].set(vrows)
 
 
-@partial(jax.jit, static_argnames=("lo", "nw", "rows"))
+@partial(jax.jit, static_argnames=("runs", "nw", "rows"))
 def _build_panel_narrow(
-    vals: jnp.ndarray, lo: int, nw: int, rows: bool
+    vals: jnp.ndarray, runs: tuple, nw: int, rows: bool
 ) -> jnp.ndarray:
-    """Fast path for the common shape: a CONTIGUOUS witness range lo..lo+K
-    of <=16-bit values (hash-gadget byte inputs).  The panel materializes
-    from one zero-fill + one contiguous slice write — the general scatter
+    """Fast path for the common shape: witness indices forming a few
+    CONTIGUOUS runs of <=16-bit values (hash-gadget byte inputs interleave
+    input/output ranges per gadget).  The panel materializes from one
+    zero-fill + one contiguous slice write per run — the general scatter
     lowering cost ~0.25 s/call at B=8192 — and the upload ships the narrow
-    dtype (uint8/16), not 16 limbs.  ``vals``: (B, K) unsigned."""
-    B, K = vals.shape
+    dtype (uint8/16), not 16 limbs.  ``vals``: (B, K) unsigned, columns
+    ordered run-major; ``runs``: tuple of (lo, length)."""
+    B = vals.shape[0]
     v32 = vals.astype(jnp.uint32)
+    off = 0
     if rows:
         S = B // 128
         W = jnp.zeros((nw, NUM_LIMBS, S, 128), dtype=jnp.uint32)
-        rows_v = v32.T.reshape(K, 1, S, 128)
-        return W.at[lo : lo + K, 0:1].set(rows_v)
+        for lo, k in runs:
+            seg = v32[:, off : off + k]
+            off += k
+            W = W.at[lo : lo + k, 0:1].set(seg.T.reshape(k, 1, S, 128))
+        return W
     W = jnp.zeros((B, nw, NUM_LIMBS), dtype=jnp.uint32)
-    return W.at[:, lo : lo + K, 0:1].set(v32[:, :, None])
+    for lo, k in runs:
+        seg = v32[:, off : off + k]
+        off += k
+        W = W.at[:, lo : lo + k, 0:1].set(seg[:, :, None])
+    return W
 
 
 def _to_host_np(x) -> np.ndarray:
@@ -629,10 +639,13 @@ class BatchSolver:
         # Deep circuits produce many levels; bounding levels-per-jit keeps each
         # compiled graph a manageable size (several jits instead of one huge one).
         self.max_levels_per_segment = max_levels_per_segment
-        self._has_static_arith = any(
-            g.neg_inv_den_r is not None
+        # Levels big enough for the fused kernel (see min_fused_gates in
+        # _scan_groups): smaller circuits stay on the legacy layout.
+        self._has_fused_levels = any(
+            sum(
+                1 for g in level.arith_solve if g.neg_inv_den_r is not None
+            ) >= 128
             for level in plan.levels
-            for g in level.arith_solve
         )
         self.segments = self._build_segments()
         self._segment_fns: Dict[int, Callable] = {}
@@ -1066,7 +1079,14 @@ class BatchSolver:
             return (bucket, buf["num"]["lin_idx"].shape[1:],
                     buf["num"]["mul_idx"].shape[1:])
 
+        # Below this many gates the legacy path is already fast and the
+        # fused kernel's Mosaic compile (minutes for tiny unrolled-loop trip
+        # counts) cannot pay for itself.
+        min_fused_gates = 128
+
         def fused_desc(buf, bucket):
+            if bucket < min_fused_gates:
+                return None, None
             t1 = buf["num"]["lin_idx"].shape[1]
             t2 = buf["num"]["mul_idx"].shape[1]
             return pack_level_desc(buf, scratch, pad_to=bucket), (t1, t2)
@@ -1081,9 +1101,15 @@ class BatchSolver:
                 bucket = run_key[0]
                 bufs = [self._pad_static_level(p["arith_static"], bucket)
                         for p in run]
-                descs = [fused_desc(p["arith_static"], bucket)[0] for p in run]
-                tshape = fused_desc(run[0]["arith_static"], bucket)[1]
-                groups.append(("scan", bufs, np.stack(descs), tshape))
+                desc0, tshape = fused_desc(run[0]["arith_static"], bucket)
+                if desc0 is None:
+                    groups.append(("scan", bufs, None, None))
+                else:
+                    descs = [desc0] + [
+                        fused_desc(p["arith_static"], bucket)[0]
+                        for p in run[1:]
+                    ]
+                    groups.append(("scan", bufs, np.stack(descs), tshape))
             elif run:
                 p = run[0]
                 bucket = run_key[0]
@@ -1118,8 +1144,8 @@ class BatchSolver:
             # Sharded solves keep the batch-major layout (the mesh shards
             # axis 0); rows-layout sharding lands with the multi-chip work.
             return False
-        if not self._has_static_arith:
-            # No fused-solvable gates: the rows layout would only add
+        if not self._has_fused_levels:
+            # No fused-solvable levels: the rows layout would only add
             # panel-conversion copies around the other kernels.
             return False
         try:
@@ -1166,7 +1192,7 @@ class BatchSolver:
                 for group in groups:
                     kind, item = group[0], group[1]
                     desc, tshape = group[2], group[3]
-                    if kind == "scan" and fused_ok:
+                    if kind == "scan" and desc is not None and fused_ok:
                         W, W_rows = enter_rows(W, W_rows)
                         t1, t2 = tshape
 
@@ -1211,6 +1237,18 @@ class BatchSolver:
 
             fn = run
             self._segment_fns[seg_index] = fn
+        return fn
+
+    def _segment_fn_donated(self, seg_index: int):
+        """The segment function with the witness panel donated: solve()
+        discards the input state, and without donation the in-place fused
+        kernels force XLA to hold TWO HBM-sized panels (a 2048-instance
+        2^16-gate chunk OOMed at compile)."""
+        key = ("donated", seg_index)
+        fn = self._segment_fns.get(key)
+        if fn is None:
+            fn = jax.jit(self._segment_fn(seg_index), donate_argnums=(0,))
+            self._segment_fns[key] = fn
         return fn
 
     # -- host stages ---------------------------------------------------------
@@ -1434,11 +1472,16 @@ class BatchSolver:
                 cols_arr = np.fromiter(
                     (w for w, _ in items), np.int64, len(items)
                 )
-                lo = int(cols_arr[0])
-                if (cols_arr == np.arange(lo, lo + len(items))).all():
+                breaks = np.nonzero(np.diff(cols_arr) != 1)[0] + 1
+                starts = np.concatenate([[0], breaks, [len(cols_arr)]])
+                runs = tuple(
+                    (int(cols_arr[s]), int(starts[i + 1] - s))
+                    for i, s in enumerate(starts[:-1])
+                )
+                if len(runs) <= 64:
                     vals2d = np.stack([a for _, a in items], axis=1)
                     return self._finish_initial_state(
-                        B, narrow=(vals2d, lo)
+                        B, narrow=(vals2d, runs)
                     )
             nbytes = NUM_LIMBS * LIMB_BITS // 8
             # Minimal limb count: 16-bit limbs from the widest column dtype.
@@ -1515,9 +1558,9 @@ class BatchSolver:
         nw = self.plan.num_witnesses + 1
         rows_mode = self.mesh is None and self._fused_eligible(B)
         if narrow is not None:
-            vals2d, lo = narrow
+            vals2d, runs = narrow
             Wd = _build_panel_narrow(
-                jnp.asarray(vals2d), lo, nw, rows_mode
+                jnp.asarray(vals2d), runs, nw, rows_mode
             )
         elif W is not None:
             if rows_mode:
@@ -1640,7 +1683,9 @@ class BatchSolver:
         for i, segment in enumerate(self.segments):
             if segment.levels:
                 with Timer() as t_seg:
-                    W, ok, fail, mem = self._segment_fn(i)(W, ok, fail, mem)
+                    W, ok, fail, mem = self._segment_fn_donated(i)(
+                        W, ok, fail, mem
+                    )
                     W.block_until_ready()
                 self._log.debug(
                     "segment %d: %d levels in %.3fs", i, len(segment.levels),

@@ -72,17 +72,23 @@ def test_fused_path_with_host_stage_roundtrip():
     one = FieldElement.one()
     w = Witness
     opcodes = []
-    # w3 = 2*w1 + w2 (static arith, fused)
-    opcodes.append(
-        ops.OpcodeArithmetic(
-            Expression(
-                linear_combinations=[
-                    (one + one, w(1)), (one, w(2)), (-one, w(3))
-                ]
+    # 128 fused-sized static gates: w(2+i) = (2+i)*w1 + w2
+    n_gates = 128
+    for i in range(n_gates):
+        opcodes.append(
+            ops.OpcodeArithmetic(
+                Expression(
+                    linear_combinations=[
+                        (FieldElement(2 + i), w(1)),
+                        (one, w(2)),
+                        (-one, w(3 + i)),
+                    ]
+                )
             )
         )
-    )
-    # host stage: permutation sort of (w1, w2) -> control bit w4
+    sort_bit = w(3 + n_gates)
+    final = w(4 + n_gates)
+    # host stage: permutation sort of (w1, w2) -> control bit
     opcodes.append(
         ops.OpcodeDirective(
             ops.DirPermutationSort(
@@ -91,25 +97,29 @@ def test_fused_path_with_host_stage_roundtrip():
                     [Expression.from_witness(w(2))],
                 ],
                 tuple_size=1,
-                bits=[w(4)],
+                bits=[sort_bit],
                 sort_by=[0],
             )
         )
     )
-    # w5 = w4 + w3 (depends on the host-stage output)
+    # final = sort_bit + w(3) (depends on the host-stage output AND a
+    # fused-level output)
     opcodes.append(
         ops.OpcodeArithmetic(
             Expression(
-                linear_combinations=[(one, w(4)), (one, w(3)), (-one, w(5))]
+                linear_combinations=[
+                    (one, sort_bit), (one, w(3)), (-one, final)
+                ]
             )
         )
     )
     circuit = Circuit(
-        current_witness_index=5,
+        current_witness_index=int(final),
         opcodes=opcodes,
         private_parameters={w(1), w(2)},
     )
     solver = BatchSolver(plan_circuit(circuit))
+    assert solver._has_fused_levels  # the rows + host-stage path engages
     rng = random.Random(3)
     p = solver.plan.params.modulus
     inputs = [
@@ -117,13 +127,10 @@ def test_fused_path_with_host_stage_roundtrip():
     ]
     result = solver.solve(inputs)
     assert result.ok.all()
+    check = [3, 2 + n_gates, int(sort_bit), int(final)]
     for b in (0, 7, B - 1):
-        want = _sequential_expect(circuit, inputs[b], [3, 4, 5])
-        got = [
-            result.witness_ints(3)[b],
-            result.witness_ints(4)[b],
-            result.witness_ints(5)[b],
-        ]
+        want = _sequential_expect(circuit, inputs[b], check)
+        got = [result.witness_ints(x)[b] for x in check]
         assert got == want, b
 
 

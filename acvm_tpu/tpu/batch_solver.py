@@ -639,13 +639,12 @@ class BatchSolver:
         # Deep circuits produce many levels; bounding levels-per-jit keeps each
         # compiled graph a manageable size (several jits instead of one huge one).
         self.max_levels_per_segment = max_levels_per_segment
-        # Levels big enough for the fused kernel (see min_fused_gates in
-        # _scan_groups): smaller circuits stay on the legacy layout.
+        # Any static-arith gate fuses (tiny levels pad to the 128-gate
+        # minimum bucket); circuits without them stay on the legacy layout.
         self._has_fused_levels = any(
-            sum(
-                1 for g in level.arith_solve if g.neg_inv_den_r is not None
-            ) >= 128
+            g.neg_inv_den_r is not None
             for level in plan.levels
+            for g in level.arith_solve
         )
         self.segments = self._build_segments()
         self._segment_fns: Dict[int, Callable] = {}
@@ -1075,18 +1074,22 @@ class BatchSolver:
                 return None
             buf = packed["arith_static"]
             E = buf["u_idx"].shape[0]
-            bucket = max(2, 1 << max(0, (E - 1).bit_length()))
+            # Minimum bucket 128: every arith_static level fuses (a level
+            # that fell back to the legacy path mid-segment forced an
+            # 8 GB rows->batch-major conversion around it), tiny levels pad
+            # up (padding gates write the scratch row), and the kernel's
+            # fori trip count stays large enough to dodge the pathological
+            # tiny-loop Mosaic compile times.  Above 1024 gates buckets are
+            # 1024-granular, not power-of-two: the headline circuit's
+            # 8-15k-gate levels padded 33% with pow2 buckets, 6% with this.
+            if E <= 1024:
+                bucket = max(128, 1 << max(0, (E - 1).bit_length()))
+            else:
+                bucket = -(-E // 1024) * 1024
             return (bucket, buf["num"]["lin_idx"].shape[1:],
                     buf["num"]["mul_idx"].shape[1:])
 
-        # Below this many gates the legacy path is already fast and the
-        # fused kernel's Mosaic compile (minutes for tiny unrolled-loop trip
-        # counts) cannot pay for itself.
-        min_fused_gates = 128
-
         def fused_desc(buf, bucket):
-            if bucket < min_fused_gates:
-                return None, None
             t1 = buf["num"]["lin_idx"].shape[1]
             t2 = buf["num"]["mul_idx"].shape[1]
             return pack_level_desc(buf, scratch, pad_to=bucket), (t1, t2)

@@ -100,10 +100,12 @@ _DESC_SMEM_BUDGET = 640 * 1024
 
 
 def pick_chunk(E: int, dw: int, ec_max: int = 2048) -> int:
-    """Largest even power-of-two chunk <= ec_max dividing E whose
+    """Largest even power-of-two chunk <= ec_max that divides E and whose
     double-buffered SMEM footprint fits the budget."""
     ec = min(E, ec_max)
-    while ec > 2 and dw * max(ec, 128) * 4 * 2 > _DESC_SMEM_BUDGET:
+    while ec > 2 and (
+        E % ec != 0 or dw * max(ec, 128) * 4 * 2 > _DESC_SMEM_BUDGET
+    ):
         ec //= 2
     return ec
 

@@ -164,10 +164,16 @@ def gadget_inputs(
     return [{w: rng.randrange(hi) for w in witnesses} for _ in range(batch)]
 
 
-def gadget_inputs_columnar(circuit: Circuit, batch: int, kind: str, seed: int = 7):
+def gadget_inputs_columnar(
+    circuit: Circuit, batch: int, kind: str, seed: int = 7,
+    device: bool = False,
+):
     """Columnar ``{witness: (B,) array}`` form of :func:`gadget_inputs` — the
     zero-copy ingest path of ``BatchSolver.initial_state``.  Byte messages
-    come back as uint8 arrays; pedersen field scalars as object arrays."""
+    come back as uint8 arrays; pedersen field scalars as object arrays.
+
+    ``device=True`` returns device-resident jax arrays for the byte kinds
+    (the upstream-on-device production pattern: no host->device upload)."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -181,9 +187,16 @@ def gadget_inputs_columnar(circuit: Circuit, batch: int, kind: str, seed: int = 
             )
             for w in witnesses
         }
-    return {
+    cols = {
         w: rng.integers(0, 256, size=batch, dtype=np.uint8) for w in witnesses
     }
+    if device:
+        import jax.numpy as jnp
+
+        # One bulk upload, then device-resident column views.
+        stacked = jnp.asarray(np.stack(list(cols.values()), axis=1))
+        return {w: stacked[:, i] for i, w in enumerate(cols)}
+    return cols
 
 
 def columnar_instance(columnar, index: int) -> Dict[int, int]:

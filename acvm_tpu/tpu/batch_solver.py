@@ -1455,6 +1455,28 @@ class BatchSolver:
         16-bit-limb panel — ~15x faster than per-element Python limb splits,
         which dominated gadget-circuit solves (512+ input witnesses each)."""
         p = self.plan.params.modulus
+        if isinstance(input_values, tuple) and len(input_values) == 2:
+            # Packed-matrix form: (witness_indices, (B, K) uint8/16 matrix) —
+            # the highest-throughput ingest: one array (host numpy or
+            # device-resident jax), no per-column handling at all.  Column k
+            # of the matrix assigns witness_indices[k].
+            cols_list, vals2d = input_values
+            cols_arr = np.fromiter(
+                (int(w) for w in cols_list), np.int64, len(cols_list)
+            )
+            order = np.argsort(cols_arr)
+            if not (order == np.arange(len(order))).all():
+                vals2d = vals2d[:, order]
+                cols_arr = cols_arr[order]
+            breaks = np.nonzero(np.diff(cols_arr) != 1)[0] + 1
+            starts = np.concatenate([[0], breaks, [len(cols_arr)]])
+            runs = tuple(
+                (int(cols_arr[st]), int(starts[i + 1] - st))
+                for i, st in enumerate(starts[:-1])
+            )
+            return self._finish_initial_state(
+                int(vals2d.shape[0]), narrow=(vals2d, runs)
+            )
         if isinstance(input_values, dict):
             # Columnar form: {witness_index: (B,) array-like}.  The zero-copy
             # ingest path for batch producers that already hold per-witness
@@ -1656,7 +1678,19 @@ class BatchSolver:
         return max(1, limit)
 
     @staticmethod
+    def _batch_len(input_values) -> int:
+        if isinstance(input_values, tuple) and len(input_values) == 2:
+            return int(input_values[1].shape[0])
+        if isinstance(input_values, dict):
+            if not input_values:
+                return 0
+            return len(next(iter(input_values.values())))
+        return len(input_values)
+
+    @staticmethod
     def _slice_inputs(input_values, lo: int, hi: int):
+        if isinstance(input_values, tuple) and len(input_values) == 2:
+            return (input_values[0], input_values[1][lo:hi])
         if isinstance(input_values, dict):
             return {w: a[lo:hi] for w, a in input_values.items()}
         return input_values[lo:hi]
@@ -1670,10 +1704,7 @@ class BatchSolver:
         bit-equivalent to one giant pass — the 10k-instance north star on a
         single chip (multi-chip setups shard the batch axis over the mesh
         instead; see `parallel`)."""
-        if isinstance(input_values, dict):
-            B = len(next(iter(input_values.values()))) if input_values else 0
-        else:
-            B = len(input_values)
+        B = self._batch_len(input_values)
         chunk = chunk or self.max_batch_per_pass()
         for lo in range(0, B, chunk):
             yield self.solve(
@@ -1692,10 +1723,7 @@ class BatchSolver:
         :meth:`solve_chunks` to consume per-chunk panels)."""
         from ..utils.profiling import Timer
 
-        if isinstance(input_values, dict):
-            B = len(next(iter(input_values.values()))) if input_values else 0
-        else:
-            B = len(input_values)
+        B = self._batch_len(input_values)
         limit = self.max_batch_per_pass()
         if B > limit:
             oks, fails = [], []

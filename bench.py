@@ -233,8 +233,20 @@ def _gadget_throughput(kind: str, batch: int, num_gadgets: int, msg_len: int):
     # Byte-message kinds use device-resident columns (the upstream-on-device
     # production pattern): the tunneled runtime's ~34 MB/s host->device
     # upload otherwise dominates and measures the link, not the engine.
-    device_cols = kind != "pedersen"
-    inputs = gadget_inputs_columnar(circuit, batch, kind, device=device_cols)
+    if kind != "pedersen":
+        import jax.numpy as jnp
+        import numpy as _np0
+
+        witnesses = sorted(
+            int(w) for w in circuit.circuit_arguments()
+        )
+        rng0 = _np0.random.default_rng(7)
+        matrix = jnp.asarray(rng0.integers(
+            0, 256, size=(batch, len(witnesses)), dtype=_np0.uint8
+        ))
+        inputs = (witnesses, matrix)  # packed device-resident matrix
+    else:
+        inputs = gadget_inputs_columnar(circuit, batch, kind)
     res = solver.solve(inputs)  # compile + correctness flags
     assert bool(res.ok.all()), f"{kind} gadget bench unsatisfiable"
 
@@ -246,9 +258,15 @@ def _gadget_throughput(kind: str, batch: int, num_gadgets: int, msg_len: int):
 
     import numpy as _np
 
-    host_view = {w: _np.asarray(a) for w, a in inputs.items()}
+    if isinstance(inputs, tuple):
+        row0 = _np.asarray(inputs[1][0])
+        first = {w: int(v) for w, v in zip(inputs[0], row0)}
+    else:
+        first = columnar_instance(
+            {w: _np.asarray(a) for w, a in inputs.items()}, 0
+        )
     wm = WitnessMap()
-    for w, v in columnar_instance(host_view, 0).items():
+    for w, v in first.items():
         wm.insert(Witness(w), FieldElement(v))
     acvm = ACVM(GrumpkinSolver(), circuit.opcodes, wm)
     assert acvm.solve() == ACVMStatus.SOLVED

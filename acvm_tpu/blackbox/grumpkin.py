@@ -143,6 +143,11 @@ def set_external_generators(
     the device MSM tables, which are built from ``derive_generator``).
     Pass an empty table to clear the domain.  Points are checked to lie on
     Grumpkin unless ``validate=False``.
+
+    Staleness: a ``Plan`` / ``BatchSolver`` built BEFORE this call has already
+    baked device MSM window tables (and Schnorr routing decisions) from the
+    previous table — rebuild the plan and solver after changing generators or
+    the Schnorr challenge hook; existing objects keep the old semantics.
     """
     for key in [k for k in _EXTERNAL_GENERATORS if k[0] == domain_separator]:
         del _EXTERNAL_GENERATORS[key]

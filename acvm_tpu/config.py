@@ -77,10 +77,20 @@ class EngineConfig:
         )
 
     def _apply_generators(self):
-        if self.pedersen_generators is not None:
-            from .blackbox.grumpkin import set_external_generators
+        # Config-installed tables are tracked so that using a config WITHOUT
+        # an injected table clears a table a previous config installed (the
+        # module-global external-generator store would otherwise leak across
+        # EngineConfigs).  Tables installed directly through
+        # blackbox.grumpkin.set_external_generators are left alone.
+        global _GENERATORS_FROM_CONFIG
+        from .blackbox.grumpkin import set_external_generators
 
+        if self.pedersen_generators is not None:
             set_external_generators(self.pedersen_generators)
+            _GENERATORS_FROM_CONFIG = True
+        elif _GENERATORS_FROM_CONFIG:
+            set_external_generators(())
+            _GENERATORS_FROM_CONFIG = False
 
     def plan(self, circuit, input_witnesses=None):
         from .tpu.planner import plan_circuit
@@ -109,5 +119,9 @@ class EngineConfig:
         kwargs.setdefault("mesh", self.make_mesh())
         return BatchSolver(plan, **kwargs)
 
+
+# True while the domain-0 external generator table was installed by an
+# EngineConfig (vs a direct set_external_generators call).
+_GENERATORS_FROM_CONFIG = False
 
 DEFAULT_CONFIG = EngineConfig()

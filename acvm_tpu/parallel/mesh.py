@@ -37,3 +37,23 @@ def shard_batch(arrays, mesh: Mesh, axis_name: str = "data"):
     return jax.tree_util.tree_map(
         lambda a: jax.device_put(a, sharding), arrays
     )
+
+
+def rows_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Sharding for the fused engine's witness-major panel (NW, L, S, 128):
+    the instance axis is S (batch B = S * 128), so shard dimension 2."""
+    return NamedSharding(mesh, P(None, None, axis_name, None))
+
+
+def shard_state(state, mesh: Mesh, axis_name: str = "data"):
+    """device_put a solver state pytree: 4-D witness-major panels shard on
+    their S axis (dim 2), everything else (ok/fail/mem/legacy 3-D panels) on
+    the leading batch axis."""
+    rows = rows_sharding(mesh, axis_name)
+    batch = batch_sharding(mesh, axis_name)
+
+    def put(a):
+        target = rows if getattr(a, "ndim", 0) == 4 else batch
+        return jax.device_put(a, target)
+
+    return jax.tree_util.tree_map(put, state)

@@ -469,14 +469,13 @@ def run_ec_fixed_base(ctx, W, ok, fail, buf):
 
 
 def run_ec_pedersen(ctx, W, ok, gate_buf):
-    """One Pedersen commitment gate: windowed MSM over fixed generators."""
+    """One Pedersen commitment gate: windowed MSM over fixed generators, all
+    generators' window entries summed in one tree reduction."""
     from . import ec
 
     scalars = jnp.take(W, gate_buf["input_idx"], axis=1)  # (B, n, L)
-    acc = ec.pt_infinity(ctx, (W.shape[0],))
-    for i in range(scalars.shape[1]):
-        term = ec.fixed_base_mul(ctx, gate_buf["tables"][i], scalars[:, i])
-        acc = ec.pt_add(ctx, acc, term)
+    tables = jnp.asarray(np.stack(gate_buf["tables"]))  # (n, W, 16, 3, L)
+    acc = ec.msm_fixed_tables(ctx, tables, scalars)
     ax, ay = ec.pt_to_affine(ctx, acc)
     W = W.at[:, gate_buf["out_x"]].set(ax)
     W = W.at[:, gate_buf["out_y"]].set(ay)
@@ -559,6 +558,13 @@ def _expr_to_u32_index(ctx, val):
 
 
 def run_memory_op(ctx, W, ok, fail, mem, buf):
+    """One memory opcode over the batch (memory_op.rs:47-123 semantics).
+
+    Static selector (``op_sel`` is None): the stage is a read or a write for
+    every instance.  Runtime selector: each instance evaluates the selector
+    expression and acts as a read (0) or write (non-zero), with both
+    behaviors masked per instance.  A read into an already-known witness
+    (``read_known``) is the reference's insert_value conflict check."""
     block = mem[buf["block_key"]]
     size = block.shape[1]
     idx_val = eval_exprs(ctx, W, buf["index"])  # (B, 1, L)
@@ -567,21 +573,47 @@ def run_memory_op(ctx, W, ok, fail, mem, buf):
     active = ~ctx.is_zero(pred)[:, 0]  # (B,)
     in_bounds = idx < size
     bad = too_big | (~in_bounds & active)  # (B,)
-    ok = ok & ~bad
-    fail = note_failures(fail, bad[:, None], [buf["op_idx"]])
     idx_c = jnp.minimum(idx, size - 1)
     batch = jnp.arange(W.shape[0])
-    if buf["is_read"]:
+    read_w = buf["read_into"]
+
+    if buf.get("op_sel") is not None:
+        sel = eval_exprs(ctx, W, buf["op_sel"])
+        is_read = ctx.is_zero(sel)[:, 0]  # (B,)
+    else:
+        is_read = jnp.full(active.shape, buf["is_read"])
+
+    # -- read behavior -------------------------------------------------------
+    if read_w is None:
+        # The value expression partial-evaluates (compound, or an
+        # already-assigned witness): read-active instances hit the
+        # reference's "must read into a specified witness" panic
+        # (memory_op.rs:94-96).
+        bad = bad | is_read
+    else:
         read = block[batch, idx_c]  # (B, L)
         read = jnp.where((active & in_bounds)[:, None], read, 0)
-        W = W.at[:, buf["read_into"]].set(read)
+        old = jnp.take(W, jnp.asarray([read_w]), axis=1)[:, 0]
+        W = W.at[:, read_w].set(jnp.where(is_read[:, None], read, old))
+
+    # -- write behavior ------------------------------------------------------
+    if buf["value"] is not None:
+        wval = eval_exprs(ctx, W, buf["value"])[:, 0]  # (B, L)
     else:
-        value = eval_exprs(ctx, W, buf["value"])[:, 0]  # (B, L)
-        old = block[batch, idx_c]
-        newv = jnp.where((active & in_bounds)[:, None], value, old)
+        # Stored value is the witness this very op assigns on reads: a
+        # write-active instance cannot evaluate it (OpcodeNotSolvable).
+        wval = jnp.zeros((W.shape[0], NUM_LIMBS), jnp.uint32)
+        bad = bad | (~is_read & active)
+    do_write = (~is_read) & active & in_bounds & ~too_big
+    if buf.get("op_sel") is not None or not buf["is_read"]:
+        old_mem = block[batch, idx_c]
+        newv = jnp.where(do_write[:, None], wval, old_mem)
         block = block.at[batch, idx_c].set(newv)
         mem = dict(mem)
         mem[buf["block_key"]] = block
+
+    ok = ok & ~bad
+    fail = note_failures(fail, bad[:, None], [buf["op_idx"]])
     return W, ok, fail, mem
 
 
@@ -945,6 +977,9 @@ class BatchSolver:
                             value=pack_exprs([st.write_value])
                             if st.write_value
                             else None,
+                            op_sel=pack_exprs([st.op_sel])
+                            if st.op_sel is not None
+                            else None,
                         )
                     )
             packed["memory"] = stages
@@ -1090,8 +1125,16 @@ class BatchSolver:
                     buf["num"]["mul_idx"].shape[1:])
 
         def fused_desc(buf, bucket):
+            from .fused_level import desc_fits
+
             t1 = buf["num"]["lin_idx"].shape[1]
             t2 = buf["num"]["mul_idx"].shape[1]
+            if not desc_fits(t1, t2):
+                # Very wide expressions (60+ terms/gate): even the minimum
+                # chunk's double-buffered descriptor block exceeds the SMEM
+                # budget — route the level to the legacy XLA path instead of
+                # failing at Mosaic compile.
+                return None, None
             return pack_level_desc(buf, scratch, pad_to=bucket), (t1, t2)
 
         groups: List[object] = []
@@ -1136,25 +1179,38 @@ class BatchSolver:
     def _fused_eligible(self, B: int) -> bool:
         """The fused gather->CIOS->scatter level kernel (fused_level.py):
         TPU backend, batch a multiple of 1024 (8 sublanes x 128 lanes of
-        uint32 per limb vreg).  ACVM_TPU_NO_FUSED=1 disables."""
+        uint32 per limb vreg).  Under a mesh the witness-major panel shards
+        on its S axis (rows_sharding) and each device runs the kernel on its
+        local slice via shard_map — arith gates are batch-independent, so
+        there is no cross-shard traffic; the per-shard batch must itself be a
+        multiple of 1024.  Multi-process jobs stay on the legacy engine (host
+        stages there rebuild panels from gathered host copies, which assumes
+        the batch-major layout).  ACVM_TPU_NO_FUSED=1 disables."""
         import os
 
         if os.environ.get("ACVM_TPU_NO_FUSED"):
-            return False
-        if B % 1024 != 0:
-            return False
-        if self.mesh is not None:
-            # Sharded solves keep the batch-major layout (the mesh shards
-            # axis 0); rows-layout sharding lands with the multi-chip work.
             return False
         if not self._has_fused_levels:
             # No fused-solvable levels: the rows layout would only add
             # panel-conversion copies around the other kernels.
             return False
+        if self.mesh is not None:
+            if jax.process_count() > 1:
+                return False
+            if B % (1024 * self.mesh.size) != 0:
+                return False
+        elif B % 1024 != 0:
+            return False
         try:
-            return jax.default_backend() == "tpu"
+            if jax.default_backend() == "tpu":
+                return True
         except Exception:
             return False
+        # Off-TPU the fused path substitutes the vectorized jnp twin of the
+        # level kernel (fused_level_jnp — identical descriptor semantics):
+        # the virtual-CPU multi-chip dryrun and CPU tests use this to
+        # validate the fused engine's sharding and layouts without hardware.
+        return bool(os.environ.get("ACVM_TPU_FUSED_INTERPRET"))
 
     def _segment_fn(self, seg_index: int):
         fn = self._segment_fns.get(seg_index)
@@ -1192,29 +1248,57 @@ class BatchSolver:
                 def leave_rows(W, W_rows):
                     return (from_rows(W_rows), None) if W is None else (W, W_rows)
 
+                def run_fused(W_rows, descs, t1, t2, scan):
+                    """One fused level (or a scan over stacked levels); under
+                    a mesh the panel is sharded on its S axis and each device
+                    runs the kernel on its local slice (shard_map; descriptor
+                    tables replicated).  Gates are batch-independent, so the
+                    sharded program has NO collectives — the per-chip
+                    semantics stay those of acvm/src/pwg/arithmetic.rs."""
+
+                    def local(Wr, d):
+                        if scan:
+                            def body(Wc, dd):
+                                return (
+                                    fused_level_call(
+                                        Wc, dd, ctx.params, t1, t2
+                                    ),
+                                    None,
+                                )
+
+                            Wr, _ = jax.lax.scan(body, Wr, d)
+                            return Wr
+                        return fused_level_call(Wr, d, ctx.params, t1, t2)
+
+                    if self.mesh is None:
+                        return local(W_rows, descs)
+                    from jax import shard_map
+                    from jax.sharding import PartitionSpec as P
+
+                    axis = self.mesh.axis_names[0]
+                    spec = P(None, None, axis, None)
+                    return shard_map(
+                        local,
+                        mesh=self.mesh,
+                        in_specs=(spec, P()),
+                        out_specs=spec,
+                        check_vma=False,
+                    )(W_rows, descs)
+
                 for group in groups:
                     kind, item = group[0], group[1]
                     desc, tshape = group[2], group[3]
                     if kind == "scan" and desc is not None and fused_ok:
                         W, W_rows = enter_rows(W, W_rows)
                         t1, t2 = tshape
-
-                        def body(Wr, d):
-                            return (
-                                fused_level_call(
-                                    Wr, d, ctx.params, t1, t2
-                                ),
-                                None,
-                            )
-
-                        W_rows, _ = jax.lax.scan(
-                            body, W_rows, jnp.asarray(desc)
+                        W_rows = run_fused(
+                            W_rows, jnp.asarray(desc), t1, t2, scan=True
                         )
                     elif kind == "level" and desc is not None and fused_ok:
                         W, W_rows = enter_rows(W, W_rows)
                         t1, t2 = tshape
-                        W_rows = fused_level_call(
-                            W_rows, jnp.asarray(desc), ctx.params, t1, t2
+                        W_rows = run_fused(
+                            W_rows, jnp.asarray(desc), t1, t2, scan=False
                         )
                     elif kind == "scan":
                         W, W_rows = leave_rows(W, W_rows)
@@ -1396,6 +1480,36 @@ class BatchSolver:
                                 )
                             )
                             continue
+                        if isinstance(opcode, ops.OpcodeBrillig):
+                            from . import brillig_vm_device
+
+                            if brillig_vm_device.device_vm_eligible(
+                                opcode.brillig
+                            ):
+                                # Tier-2 device VM: divergent (Jump/Load/
+                                # Store) bytecode runs as a batched SIMD
+                                # interpreter; traps flip instance flags.
+                                values, trap = (
+                                    brillig_vm_device.run_brillig_vm_batch(
+                                        opcode.brillig, get_col, B, p
+                                    )
+                                )
+                                store_writes(values)
+                                if trap.any():
+                                    ok_np &= ~trap
+                                    fail_np[trap] = np.minimum(
+                                        fail_np[trap], np.int32(op_index)
+                                    )
+                                continue
+                        if isinstance(opcode, ops.OpcodeDirective) and isinstance(
+                            opcode.directive, ops.DirPermutationSort
+                        ):
+                            store_writes(
+                                host_batch.run_permutation_sort_batch(
+                                    opcode.directive, get_col, B, p
+                                )
+                            )
+                            continue
                         if isinstance(opcode, ops.OpcodeDirective) and isinstance(
                             opcode.directive, ops.DirToLeRadix
                         ):
@@ -1454,6 +1568,15 @@ class BatchSolver:
         and serialized through ``int.to_bytes`` + ``np.frombuffer`` into the
         16-bit-limb panel — ~15x faster than per-element Python limb splits,
         which dominated gadget-circuit solves (512+ input witnesses each)."""
+        B, kwargs = self._pack_host(input_values)
+        return self._finish_initial_state(B, **kwargs)
+
+    def _pack_host(self, input_values):
+        """The pure-host half of :meth:`initial_state`: normalize the inputs
+        into dense numpy buffers WITHOUT touching the device.  Returns
+        (B, kwargs-for-_finish_initial_state).  Streamed solves run this on a
+        prefetch thread so chunk k+1's packing overlaps chunk k's device
+        solve."""
         p = self.plan.params.modulus
         if isinstance(input_values, tuple) and len(input_values) == 2:
             # Packed-matrix form: (witness_indices, (B, K) uint8/16 matrix) —
@@ -1461,9 +1584,24 @@ class BatchSolver:
             # device-resident jax), no per-column handling at all.  Column k
             # of the matrix assigns witness_indices[k].
             cols_list, vals2d = input_values
+            # Mirror the dict-columnar checks: _build_panel_narrow writes each
+            # value whole into ONE 16-bit limb slot, so wider dtypes (or
+            # duplicate columns, whose scatter order would be undefined) must
+            # be rejected, not silently corrupted.
+            if np.dtype(vals2d.dtype) not in (
+                np.dtype(np.uint8), np.dtype(np.uint16)
+            ):
+                raise ValueError(
+                    "packed-matrix inputs must be uint8/uint16 (values are "
+                    f"written to a single 16-bit limb); got {vals2d.dtype}"
+                )
             cols_arr = np.fromiter(
                 (int(w) for w in cols_list), np.int64, len(cols_list)
             )
+            if len(np.unique(cols_arr)) != len(cols_arr):
+                raise ValueError(
+                    "packed-matrix inputs contain duplicate witness indices"
+                )
             order = np.argsort(cols_arr)
             if not (order == np.arange(len(order))).all():
                 vals2d = vals2d[:, order]
@@ -1474,9 +1612,7 @@ class BatchSolver:
                 (int(cols_arr[st]), int(starts[i + 1] - st))
                 for i, st in enumerate(starts[:-1])
             )
-            return self._finish_initial_state(
-                int(vals2d.shape[0]), narrow=(vals2d, runs)
-            )
+            return int(vals2d.shape[0]), dict(narrow=(vals2d, runs))
         if isinstance(input_values, dict):
             # Columnar form: {witness_index: (B,) array-like}.  The zero-copy
             # ingest path for batch producers that already hold per-witness
@@ -1508,9 +1644,7 @@ class BatchSolver:
                     if len(runs) <= 64:
                         vals2d = jnp.stack([a for _, a in dev_items], axis=1)
                         B = int(vals2d.shape[0])
-                        return self._finish_initial_state(
-                            B, narrow=(vals2d, runs)
-                        )
+                        return B, dict(narrow=(vals2d, runs))
                 # General device values: (B, K) per-column limbs via device
                 # shifts (uint32 columns; wider values need the host path).
                 input_values = {
@@ -1538,9 +1672,7 @@ class BatchSolver:
                 )
                 if len(runs) <= 64:
                     vals2d = np.stack([a for _, a in items], axis=1)
-                    return self._finish_initial_state(
-                        B, narrow=(vals2d, runs)
-                    )
+                    return B, dict(narrow=(vals2d, runs))
             nbytes = NUM_LIMBS * LIMB_BITS // 8
             # Minimal limb count: 16-bit limbs from the widest column dtype.
             nl = 1
@@ -1571,7 +1703,7 @@ class BatchSolver:
                             (v64 >> np.uint64(LIMB_BITS * li))
                             & np.uint64(MASK16)
                         ).astype(np.uint32)
-            return self._finish_initial_state(B, cols=cols_idx, vals=vals)
+            return B, dict(cols=cols_idx, vals=vals)
         B = len(input_values)
         keys0 = tuple(sorted(input_values[0])) if B else ()
         uniform = all(tuple(sorted(d)) == keys0 for d in input_values)
@@ -1594,7 +1726,7 @@ class BatchSolver:
             nl = NUM_LIMBS
             while nl > 1 and not vals[:, :, nl - 1].any():
                 nl -= 1
-            return self._finish_initial_state(B, cols=cols, vals=vals[:, :, :nl])
+            return B, dict(cols=cols, vals=vals[:, :, :nl])
         # Non-uniform fallback: dense host panel.  One scratch column past the
         # real witnesses receives the scatter writes of shape-padding gates
         # (see _pad_static_level).
@@ -1602,7 +1734,7 @@ class BatchSolver:
         for b, assignment in enumerate(input_values):
             for w, v in assignment.items():
                 W[b, int(w)] = _limbs_of(int(v) % p)
-        return self._finish_initial_state(B, W=W)
+        return B, dict(W=W)
 
     def _finish_initial_state(
         self, B: int, W=None, cols=None, vals=None, narrow=None
@@ -1614,7 +1746,7 @@ class BatchSolver:
         work for gadget circuits.  Fused-eligible batches build the panel
         directly in the witness-major rows layout (see fused_level.py)."""
         nw = self.plan.num_witnesses + 1
-        rows_mode = self.mesh is None and self._fused_eligible(B)
+        rows_mode = self._fused_eligible(B)
         if narrow is not None:
             vals2d, runs = narrow
             Wd = _build_panel_narrow(
@@ -1647,9 +1779,9 @@ class BatchSolver:
         }
         state = (Wd, ok, fail, mem)
         if self.mesh is not None:
-            from ..parallel import shard_batch
+            from ..parallel import shard_state
 
-            state = shard_batch(state, self.mesh)
+            state = shard_state(state, self.mesh)
         return state
 
     def max_batch_per_pass(self) -> int:
@@ -1726,16 +1858,7 @@ class BatchSolver:
         B = self._batch_len(input_values)
         limit = self.max_batch_per_pass()
         if B > limit:
-            oks, fails = [], []
-            for result in self.solve_chunks(input_values, limit, stats=stats):
-                oks.append(result.ok)
-                fails.append(result.fail)
-                # Drop each chunk's witness panel before the next pass
-                # allocates — two HBM-sized panels cannot coexist.
-                result.release()
-            return BatchResult(
-                self, None, np.concatenate(oks), np.concatenate(fails)
-            )
+            return self._solve_streamed(input_values, B, limit, stats)
 
         if stats is not None:
             stats.batch = B
@@ -1743,20 +1866,35 @@ class BatchSolver:
         with Timer() as t_pack:
             W, ok, fail, mem = self.initial_state(input_values)
         if stats is not None:
-            stats.pack_seconds = t_pack.elapsed
+            stats.pack_seconds += t_pack.elapsed
+        W, ok, fail = self._dispatch_segments((W, ok, fail, mem), stats)
+        # ok/fail are tiny (B,) arrays: materialize them now so the solve is
+        # synced (and errors surface here); the big W panel stays on device
+        # until a caller actually reads witnesses (lazy BatchResult.W).
+        return BatchResult(self, W, _to_host_np(ok), _to_host_np(fail))
+
+    def _dispatch_segments(self, state, stats=None):
+        """Run every segment over a device state, returning (W, ok, fail).
+        Dispatch is ASYNC: nothing blocks on the device unless per-segment
+        timing was requested (stats) or a host stage must read witnesses —
+        callers sync via their own readback (ok flags / witness reads)."""
+        from ..utils.profiling import Timer
+
+        W, ok, fail, mem = state
         for i, segment in enumerate(self.segments):
             if segment.levels:
                 with Timer() as t_seg:
                     W, ok, fail, mem = self._segment_fn_donated(i)(
                         W, ok, fail, mem
                     )
-                    W.block_until_ready()
-                self._log.debug(
-                    "segment %d: %d levels in %.3fs", i, len(segment.levels),
-                    t_seg.elapsed,
-                )
+                    if stats is not None:
+                        W.block_until_ready()
                 if stats is not None:
                     stats.segment_seconds.append(t_seg.elapsed)
+                    self._log.debug(
+                        "segment %d: %d levels in %.3fs", i,
+                        len(segment.levels), t_seg.elapsed,
+                    )
             if segment.host_stages:
                 with Timer() as t_host:
                     W, ok, fail = self._run_host_stages(
@@ -1768,10 +1906,56 @@ class BatchSolver:
                 )
                 if stats is not None:
                     stats.host_stage_seconds.append(t_host.elapsed)
-        # ok/fail are tiny (B,) arrays: materialize them now so the solve is
-        # synced (and errors surface here); the big W panel stays on device
-        # until a caller actually reads witnesses (lazy BatchResult.W).
-        return BatchResult(self, W, _to_host_np(ok), _to_host_np(fail))
+        return W, ok, fail
+
+    def _solve_streamed(self, input_values, B: int, limit: int, stats):
+        """Aggregate streaming solve for B > max_batch_per_pass (the
+        BASELINE.json north-star 10k-instance shape): chunk k+1's HOST packing
+        runs on a prefetch thread while chunk k solves on device, and chunk
+        k's ok/fail readback happens only after chunk k+1's device work is
+        enqueued — the device never idles on host packing or flag readbacks.
+        One witness panel is live at a time (each chunk's panel is donated
+        through its segment chain and dropped before the next chunk's device
+        build runs), so chunks use the full HBM budget."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..utils.profiling import Timer
+
+        if stats is not None:
+            stats.total_ops = self.plan.total_ops()
+        oks, fails = [], []
+        inflight = None  # (ok, fail) of the chunk currently on device
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            bounds = [(lo, min(lo + limit, B)) for lo in range(0, B, limit)]
+            fut = pool.submit(
+                self._pack_host, self._slice_inputs(input_values, *bounds[0])
+            )
+            for k, (lo, hi) in enumerate(bounds):
+                with Timer() as t_pack:
+                    Bk, kwargs = fut.result()
+                if k + 1 < len(bounds):
+                    fut = pool.submit(
+                        self._pack_host,
+                        self._slice_inputs(input_values, *bounds[k + 1]),
+                    )
+                if stats is not None:
+                    stats.pack_seconds += t_pack.elapsed
+                state = self._finish_initial_state(Bk, **kwargs)
+                W, ok, fail = self._dispatch_segments(state, stats)
+                del state, W  # panel freed once the last segment consumes it
+                if inflight is not None:
+                    # Drain the PREVIOUS chunk's flags now that this chunk's
+                    # device work is enqueued behind it.
+                    oks.append(_to_host_np(inflight[0]))
+                    fails.append(_to_host_np(inflight[1]))
+                inflight = (ok, fail)
+            oks.append(_to_host_np(inflight[0]))
+            fails.append(_to_host_np(inflight[1]))
+        if stats is not None:
+            stats.batch = B
+        return BatchResult(
+            self, None, np.concatenate(oks), np.concatenate(fails)
+        )
 
 
 class BatchResult:

@@ -200,13 +200,69 @@ def _window_digits(scalar_limbs: jnp.ndarray) -> jnp.ndarray:
     return stacked.reshape(scalar_limbs.shape[:-1] + (NUM_WINDOWS,))
 
 
+def _tree_reduce_points(ctx, X, Y, Z, a_mont=None):
+    """Pairwise tree reduction of a (B, N, L) jacobian point panel over its
+    N axis -> (B, L) point.
+
+    Shape-invariant formulation: each round adds even/odd pairs over a FIXED
+    (B, N/2, L) panel inside ``lax.fori_loop``, writing the results back to
+    the front and parking infinity (Z = 0) in the tail — active entries stay
+    contiguous and halve per round, and inf+inf pairs are no-ops of the
+    complete-add law.  This keeps exactly ONE pt_add in the compiled graph:
+    the naive shrinking-shape tree inlined log2(N) differently-shaped
+    pt_adds and took ~7 minutes of XLA compile per call site on the remote
+    compile service (round-5 measurement: 429 s for a 3-round tree), while
+    each round still runs as one wide vector op over B * N/2 points — the
+    TPU-friendly alternative to a 64-step sequential window scan.  EC
+    addition is associative, so the result is the same group element
+    bit-for-bit after affine normalization."""
+    n = X.shape[-2]
+    if n == 1:
+        return X[..., 0, :], Y[..., 0, :], Z[..., 0, :]
+    if n % 2:
+        pad = [(0, 0)] * (X.ndim - 2) + [(0, 1), (0, 0)]
+        X, Y, Z = jnp.pad(X, pad), jnp.pad(Y, pad), jnp.pad(Z, pad)
+        n += 1
+    rounds = (n - 1).bit_length()  # ceil(log2(n))
+
+    def body(_, state):
+        X, Y, Z = state
+        even = (X[..., 0::2, :], Y[..., 0::2, :], Z[..., 0::2, :])
+        odd = (X[..., 1::2, :], Y[..., 1::2, :], Z[..., 1::2, :])
+        Xa, Ya, Za = pt_add(ctx, even, odd, a_mont)
+        zpad = jnp.zeros_like(Xa)
+        return (
+            jnp.concatenate([Xa, zpad], axis=-2),
+            jnp.concatenate([Ya, zpad], axis=-2),
+            jnp.concatenate([Za, zpad], axis=-2),
+        )
+
+    X, Y, Z = jax.lax.fori_loop(0, rounds, body, (X, Y, Z))
+    return X[..., 0, :], Y[..., 0, :], Z[..., 0, :]
+
+
+def _gather_window_entries(table: jnp.ndarray, digits: jnp.ndarray):
+    """table (W, 16, 3, L) + digits (..., W) -> entry panel (..., W, 3, L)."""
+    num_windows = table.shape[0]
+    flat = table.reshape(num_windows * (1 << WINDOW_BITS), 3, NUM_LIMBS)
+    idx = (
+        jnp.arange(num_windows, dtype=digits.dtype) * (1 << WINDOW_BITS)
+        + digits
+    )
+    entries = jnp.take(flat, idx.reshape(-1), axis=0)
+    return entries.reshape(digits.shape + (3, NUM_LIMBS))
+
+
 def fixed_base_mul(
     ctx: LimbContext, table: jnp.ndarray, scalar_limbs: jnp.ndarray, a_mont=None
 ):
     """scalar * base via the precomputed window table.
 
     scalar_limbs: (B, NUM_LIMBS) standard form (the scalar's integer bits).
-    Returns a Montgomery jacobian point batch.
+    Returns a Montgomery jacobian point batch.  The per-window table entries
+    are gathered in one shot and summed by pairwise tree reduction — the
+    round-4 sequential 64-step scan of complete adds left the VPU idle
+    (871 Pedersen solves/s); the tree runs log2(W) wide rounds instead.
     """
     digits = _window_digits(scalar_limbs)  # (B, 64)
     # A truncated table (fewer than NUM_WINDOWS windows) restricts the scalar
@@ -214,16 +270,50 @@ def fixed_base_mul(
     # tables to keep compile times down on weak hosts.
     num_windows = table.shape[0]
     digits = digits[..., :num_windows]
-    acc = pt_infinity(ctx, scalar_limbs.shape[:-1])
+    entries = _gather_window_entries(table, digits)  # (B, W, 3, L)
+    return _tree_reduce_points(
+        ctx,
+        entries[..., 0, :],
+        entries[..., 1, :],
+        entries[..., 2, :],
+        a_mont,
+    )
 
-    def body(acc, xs):
-        table_w, digit = xs  # (16, 3, L), (B,)
-        entry = jnp.take(table_w, digit, axis=0)  # (B, 3, L)
-        q = (entry[..., 0, :], entry[..., 1, :], entry[..., 2, :])
-        return pt_add(ctx, acc, q, a_mont), None
 
-    acc, _ = jax.lax.scan(body, acc, (table, digits.swapaxes(0, 1)))
-    return acc
+def msm_fixed_tables(
+    ctx: LimbContext,
+    tables: jnp.ndarray,
+    scalars: jnp.ndarray,
+    a_mont=None,
+):
+    """Multi-scalar multiplication over fixed bases: sum_i scalars[:, i] *
+    base_i, with base_i's window table tables[i] (n, W, 16, 3, L).
+
+    All n * W window entries join ONE tree reduction — a Pedersen commitment
+    over n generators is log2(n * W) wide vector rounds total (reference
+    semantics: barretenberg pedersen_plookup_commit, wasm/pedersen.rs:13-36).
+    scalars: (B, n, L) standard form.  Returns a jacobian point batch.
+    """
+    n_gen, num_windows = tables.shape[0], tables.shape[1]
+    digits = _window_digits(scalars)[..., :num_windows]  # (B, n, W)
+    flat_tables = tables.reshape(
+        n_gen * num_windows * (1 << WINDOW_BITS), 3, NUM_LIMBS
+    )
+    base = (
+        jnp.arange(n_gen * num_windows, dtype=digits.dtype)
+        * (1 << WINDOW_BITS)
+    ).reshape(n_gen, num_windows)
+    idx = base[None] + digits  # (B, n, W)
+    B = scalars.shape[0]
+    entries = jnp.take(flat_tables, idx.reshape(B, -1).reshape(-1), axis=0)
+    entries = entries.reshape(B, n_gen * num_windows, 3, NUM_LIMBS)
+    return _tree_reduce_points(
+        ctx,
+        entries[..., 0, :],
+        entries[..., 1, :],
+        entries[..., 2, :],
+        a_mont,
+    )
 
 
 def scalar_mul(ctx: LimbContext, point, scalar_limbs: jnp.ndarray, a_mont=None):
@@ -276,18 +366,11 @@ def pedersen_msm_sharded(ctx, tables, scalars, mesh, axis_name: str = "model"):
 
     def local_msm(tables_local, scalars_local):
         # tables_local: (n_gen/m, ...), scalars_local: (B, n_gen/m, L).
-        # Both loops run as lax.scan so the pt_add body compiles ONCE no
-        # matter how many generators/devices participate — unrolled, an
-        # 8-device reduction inlined 8 EC additions and blew the CPU-mesh
-        # compile budget (round-2 MULTICHIP rc=124).
-        def gen_body(acc, xs):
-            table_i, scalars_i = xs  # (W, 16, 3, L), (B, L)
-            return pt_add(ctx, acc, fixed_base_mul(ctx, table_i, scalars_i)), None
-
-        acc = pt_infinity(ctx, scalars_local.shape[:1])
-        acc, _ = jax.lax.scan(
-            gen_body, acc, (tables_local, scalars_local.swapaxes(0, 1))
-        )
+        # One tree-reduced MSM over the local generators (log-depth pt_add
+        # rounds: the body compiles a handful of times no matter how many
+        # generators/devices participate — round-2's unrolled version inlined
+        # 8 EC additions and blew the CPU-mesh compile budget).
+        acc = msm_fixed_tables(ctx, tables_local, scalars_local)
         # Gather everyone's partial jacobian point: (m, B, 3, L) stacked.
         stacked = jnp.stack(acc, axis=-2)  # (B, 3, L)
         gathered = jax.lax.all_gather(stacked, axis_name)  # (m, B, 3, L)
@@ -389,9 +472,9 @@ def schnorr_verify_batched(
 
     # challenge: blake2s(pedersen_compress(Rx, Px, Py).x_be || msg) mod n
     scalars = jnp.stack([rx, pub_x, pub_y], axis=1)  # (B, 3, L)
-    acc = pt_infinity(ctx, (rx.shape[0],))
-    for i in range(3):
-        acc = pt_add(ctx, acc, fixed_base_mul(ctx, pedersen_tables[i], scalars[:, i]))
+    acc = msm_fixed_tables(
+        ctx, jnp.stack([jnp.asarray(t) for t in pedersen_tables]), scalars
+    )
     cx, _ = pt_to_affine(ctx, acc)
 
     digest = blake2s_digest(

@@ -99,6 +99,15 @@ def desc_width(t1: int, t2: int) -> int:
 _DESC_SMEM_BUDGET = 640 * 1024
 
 
+def desc_fits(t1: int, t2: int) -> bool:
+    """Whether ANY chunk size fits the double-buffered descriptor block in
+    SMEM.  The minor (gate) dimension pads to 128 words, so the footprint
+    floors at dw * 128 * 4 bytes * 2 buffers regardless of chunk size; wide
+    expressions (~60+ terms/gate) exceed the budget and must take the legacy
+    XLA level path."""
+    return desc_width(t1, t2) * 128 * 4 * 2 <= _DESC_SMEM_BUDGET
+
+
 def pick_chunk(E: int, dw: int, ec_max: int = 2048) -> int:
     """Largest even power-of-two chunk <= ec_max that divides E and whose
     double-buffered SMEM footprint fits the budget."""
@@ -152,8 +161,20 @@ def pack_level_desc(
 # ---------------------------------------------------------------------------
 
 
+def _n_slots() -> int:
+    """DMA ring depth (lookahead = n_slots - 1 gates).  Round-4 shipped a
+    2-slot / 1-gate-lookahead pipeline that left ~35% of the compute bound
+    on the table (BASELINE.md: 5 x 64 KB row DMAs per ~1.4 us of compute not
+    fully hidden); round 5 defaults to a 4-slot ring.  ACVM_TPU_FUSED_SLOTS
+    overrides for bisection."""
+    import os
+
+    return int(os.environ.get("ACVM_TPU_FUSED_SLOTS", "4"))
+
+
 def _make_level_kernel(
-    params: FieldParams, t1: int, t2: int, ec: int, s: int, dw: int
+    params: FieldParams, t1: int, t2: int, ec: int, s: int, dw: int,
+    n_slots: int = 2,
 ):
     """Kernel over one chunk of ``ec`` gates; operand rows are (L, s, 128)."""
     pl_ = _p_limbs(params)
@@ -245,26 +266,28 @@ def _make_level_kernel(
                 outbuf.at[slot], Wout_ref.at[0], out_sem.at[slot]
             ).wait()
 
-        # Two-slot pipeline, statically unrolled (slots 0/1, gate pair
-        # (2k, 2k+1)).  One gate of lookahead: gate g+1's gathers (into the
-        # OTHER slot) start right before computing gate g, so its DMA
-        # overlaps the ~computed gate's CIOS chain.  (A stride-2 prefetch
-        # into the SAME slot raced the in-flight compute — caught only on
-        # real hardware; the interpreter runs DMAs synchronously.)
-        start_gathers(0, 0)
+        # n_slots-deep ring pipeline, statically unrolled (slot = g mod N):
+        # lookahead = N-1 gates of in-flight gathers, so each gate's 3-5 row
+        # DMAs get (N-1) gates' worth of CIOS compute (~1.4 us each) to
+        # complete.  The prefetch target slot (slot + N-1) mod N belongs to
+        # gate g - 1, whose compute finished in the PREVIOUS unrolled step —
+        # an in-flight compute is never raced by a DMA write.  (Round-4
+        # lesson: a stride-2 prefetch into the SAME slot raced the in-flight
+        # compute, caught only on real hardware — the interpreter runs DMAs
+        # synchronously.  Invariant: lookahead <= N-1.)
+        la = n_slots - 1
+        for g_fill in range(la):
+            start_gathers(g_fill % n_slots, g_fill)  # ec >= 128 > la always
 
         def body(k, _):
-            g0 = 2 * k
-            for slot in (0, 1):
+            g0 = n_slots * k
+            for slot in range(n_slots):
                 g = g0 + slot
-                nxt = 1 - slot
                 wait_gathers(slot, g)
-                # Prefetch the next gate into the other slot: when slot==1,
-                # gate g+1 lands in slot 0, whose previous occupant (g-1)
-                # has already been computed this iteration.
-                @pl.when(g + 1 < ec)
+
+                @pl.when(g + la < ec)
                 def _():
-                    start_gathers(nxt, g + 1)
+                    start_gathers((slot + la) % n_slots, g + la)
 
                 @pl.when(k > 0)
                 def _():
@@ -274,9 +297,9 @@ def _make_level_kernel(
                 start_scatter(slot, g)
             return 0
 
-        jax.lax.fori_loop(0, ec // 2, body, 0)
-        wait_scatter(0)
-        wait_scatter(1)
+        jax.lax.fori_loop(0, ec // n_slots, body, 0)
+        for slot in range(n_slots):
+            wait_scatter(slot)
 
     return kernel
 
@@ -295,13 +318,29 @@ def fused_level_call(
     ``ec``); returns the updated panel (aliased with the input — callers
     under jit should donate/chain the buffer).  Callable inside an outer
     jit; :func:`fused_static_level` is the standalone jitted wrapper."""
+    # Off-TPU the level runs as a VECTORIZED jnp program with identical
+    # descriptor semantics (fused_level_jnp): this is how the virtual-CPU
+    # multi-chip dryrun and CPU tests validate the fused engine's sharding,
+    # layout and bit-exactness without TPU hardware.  (Pallas interpret mode
+    # was measured unusable here: it evaluates the kernel op-by-op per grid
+    # step — a single 128-gate level at B=1024 did not finish in 9 minutes
+    # on CPU.)  Mosaic-level behavior — the DMA ring — is validated on real
+    # chips by the TPU tests and the bench's sequential cross-check.
+    if jax.default_backend() != "tpu":
+        return fused_level_jnp(W_rows, desc, params, t1, t2)
     NW, _, S, _ = W_rows.shape
     dw, E = desc.shape
     ec = pick_chunk(E, dw, ec)
-    assert E % ec == 0 and ec % 2 == 0
     n_opnd = t1 + 2 * t2
+    # Ring depth: requested slots, backed off while the slot buffers exceed
+    # a conservative VMEM budget (~16 MB/core total; leave room for spills).
+    n_slots = max(2, _n_slots())
+    per_slot = (max(1, n_opnd) + 1) * L * S * 128 * 4
+    while n_slots > 2 and n_slots * per_slot > 12 * 2**20:
+        n_slots -= 1
+    assert E % ec == 0 and ec % n_slots == 0
     grid = (E // ec,)
-    kernel = _make_level_kernel(params, t1, t2, ec, S, dw)
+    kernel = _make_level_kernel(params, t1, t2, ec, S, dw, n_slots)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(W_rows.shape, jnp.uint32),
@@ -313,14 +352,64 @@ def fused_level_call(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, max(1, n_opnd), L, S, 128), jnp.uint32),
-            pltpu.VMEM((2, L, S, 128), jnp.uint32),
-            pltpu.SemaphoreType.DMA((2, max(1, n_opnd))),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((n_slots, max(1, n_opnd), L, S, 128), jnp.uint32),
+            pltpu.VMEM((n_slots, L, S, 128), jnp.uint32),
+            pltpu.SemaphoreType.DMA((n_slots, max(1, n_opnd))),
+            pltpu.SemaphoreType.DMA((n_slots,)),
         ],
         input_output_aliases={1: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(desc, W_rows)
+
+
+def fused_level_jnp(
+    W_rows: jnp.ndarray,
+    desc: jnp.ndarray,
+    params: FieldParams = BN254_FR,
+    t1: int = 0,
+    t2: int = 0,
+) -> jnp.ndarray:
+    """Vectorized XLA twin of the Pallas level kernel — same descriptor
+    format, same results, no Pallas.  Used off-TPU (CPU tests, the 8-device
+    virtual-mesh dryrun) and safe under shard_map: levelization guarantees a
+    level's reads never alias its writes, so gather-all / compute / scatter
+    is equivalent to the kernel's in-order gate loop.  Padding gates carry
+    zero coefficients and scatter zeros into the shared scratch row."""
+    from ..fields.jnp_ops import LimbContext
+
+    ctx = LimbContext(params)
+    NW, L_, S, lanes = W_rows.shape
+    dw, E = desc.shape
+    off_lin = 0
+    off_mul = t1
+    off_out = t1 + 2 * t2
+    off_lc = off_out + 1
+    off_mc = off_lc + t1 * L
+    off_qc = off_mc + t2 * L
+
+    Wf = W_rows.reshape(NW, L_, S * lanes)
+
+    def rows_of(idx):  # (E,) -> (E, B, L)
+        return jnp.take(Wf, idx, axis=0).transpose(0, 2, 1)
+
+    def coeff_of(off, t):  # (E, L) uint32
+        return desc[off + t * L : off + (t + 1) * L, :].T.astype(jnp.uint32)
+
+    acc = jnp.broadcast_to(
+        coeff_of(off_qc, 0)[:, None, :], (E, 1, L)
+    ).astype(jnp.uint32)
+    for t in range(t1):
+        val = rows_of(desc[off_lin + t])
+        acc = ctx.add(acc, ctx.mont_mul(coeff_of(off_lc, t)[:, None], val))
+    for t in range(t2):
+        v1 = rows_of(desc[off_mul + 2 * t])
+        v2 = rows_of(desc[off_mul + 2 * t + 1])
+        prod = ctx.mont_mul(v1, v2)
+        acc = ctx.add(acc, ctx.mont_mul(coeff_of(off_mc, t)[:, None], prod))
+    if t1 == 0 and t2 == 0:
+        acc = jnp.broadcast_to(acc, (E, S * lanes, L))
+    out_rows = acc.transpose(0, 2, 1).reshape(E, L_, S, lanes)
+    return W_rows.at[desc[off_out]].set(out_rows)
 
 
 @partial(

@@ -19,9 +19,12 @@ C-level loop per VM instruction instead of a full interpreter per instance):
 * **general-radix ToLeRadix** — digit extraction as vectorized divmods with
   the reference's too-many-digits failure per instance
   (acvm/src/pwg/directives/mod.rs:60-87).
+* **PermutationSort** — tuple-expression evaluation batched as object-array
+  ops; the stable sort + routing network run per instance on plain ints
+  (acvm/src/pwg/directives/mod.rs:88-120).
 
-Anything else (PermutationSort's routing network, foreign calls, branchy
-bytecode) falls back to the per-instance sequential solvers in
+Anything else (foreign calls, branchy bytecode without device support)
+falls back to the per-instance sequential solvers in
 `BatchSolver._run_host_stages`.  Disable entirely with
 ACVM_TPU_NO_HOST_BATCH=1 (conformance bisection).
 """
@@ -310,6 +313,50 @@ def run_brillig_batch(
             vals = vals * mask
         out[int(output.witness)] = vals
     return out
+
+
+def run_permutation_sort_batch(
+    directive: ops.DirPermutationSort,
+    get_col: GetCol,
+    batch: int,
+    p: int,
+) -> Dict[int, np.ndarray]:
+    """PermutationSort control bits for every instance at once.
+
+    The reference solves per instance: evaluate each tuple, stable-sort by
+    the ``sort_by`` columns, then compute AS-Waksman routing bits
+    (acvm/src/pwg/directives/mod.rs:88-120).  Here the tuple-expression
+    evaluations — the per-instance bottleneck (n * tuple_size WitnessMap
+    evaluations each) — run once across the whole batch as object-array
+    ops; the stable argsort and the (tiny, data-dependent) routing network
+    then run per instance on plain ints.
+    """
+    from ..fields.field import FieldElement
+    from ..pwg.sorting import route
+
+    n = len(directive.inputs)
+    sort_by = [int(j) for j in directive.sort_by]
+    # vals[i][j] = (B,) object ints of tuple i, column j; the reference
+    # appends the row index as a trailing column (directives/mod.rs:95-99),
+    # so sort_by may legally reference it.
+    vals = [
+        [eval_expr_batch(e, get_col, batch, p) for e in tup]
+        + [np.full(batch, i, dtype=object)]
+        for i, tup in enumerate(directive.inputs)
+    ]
+    base = [FieldElement(i) for i in range(n)]
+    bits_out = np.zeros((batch, len(directive.bits)), dtype=object)
+    for b in range(batch):
+        order = sorted(
+            range(n),
+            key=lambda i: tuple(int(vals[i][j][b]) for j in sort_by),
+        )
+        control = route(base, [base[i] for i in order])
+        for k, bit in enumerate(control):
+            bits_out[b, k] = 1 if bit else 0
+    return {
+        int(w): bits_out[:, k] for k, w in enumerate(directive.bits)
+    }
 
 
 def run_to_le_radix_batch(

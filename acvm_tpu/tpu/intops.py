@@ -91,6 +91,41 @@ def shr_static(a: jnp.ndarray, shift: int) -> jnp.ndarray:
     return (shifted >> bit_shift) | ((carry_in << (LIMB_BITS - bit_shift)) & MASK)
 
 
+def shl_dynamic(a: jnp.ndarray, shift: jnp.ndarray) -> jnp.ndarray:
+    """(a << shift) mod 2^256 with per-element shift amounts.
+
+    ``shift``: (...,) uint32 (callers clamp; any value >= 256 yields 0)."""
+    limb_shift = (shift // LIMB_BITS).astype(jnp.int32)[..., None]  # (..., 1)
+    bit = (shift % LIMB_BITS).astype(jnp.uint32)[..., None]
+    idx = jnp.arange(NUM_LIMBS, dtype=jnp.int32)  # target limb j
+    src = idx - limb_shift  # (..., L)
+    take = jnp.take_along_axis(a, jnp.clip(src, 0, NUM_LIMBS - 1), axis=-1)
+    gathered = jnp.where(src >= 0, take, 0)
+    carry_src = src - 1
+    ctake = jnp.take_along_axis(
+        a, jnp.clip(carry_src, 0, NUM_LIMBS - 1), axis=-1
+    )
+    carry = jnp.where(carry_src >= 0, ctake, 0)
+    # bit == 0: carry >> 16 == 0 for 16-bit limbs, no special case needed.
+    return ((gathered << bit) & MASK) | (carry >> (LIMB_BITS - bit))
+
+
+def shr_dynamic(a: jnp.ndarray, shift: jnp.ndarray) -> jnp.ndarray:
+    """a >> shift with per-element shift amounts (>= 256 yields 0)."""
+    limb_shift = (shift // LIMB_BITS).astype(jnp.int32)[..., None]
+    bit = (shift % LIMB_BITS).astype(jnp.uint32)[..., None]
+    idx = jnp.arange(NUM_LIMBS, dtype=jnp.int32)
+    src = idx + limb_shift
+    take = jnp.take_along_axis(a, jnp.clip(src, 0, NUM_LIMBS - 1), axis=-1)
+    gathered = jnp.where(src < NUM_LIMBS, take, 0)
+    carry_src = src + 1
+    ctake = jnp.take_along_axis(
+        a, jnp.clip(carry_src, 0, NUM_LIMBS - 1), axis=-1
+    )
+    carry = jnp.where(carry_src < NUM_LIMBS, ctake, 0)
+    return (gathered >> bit) | ((carry << (LIMB_BITS - bit)) & MASK)
+
+
 def _shl1(a: jnp.ndarray) -> jnp.ndarray:
     carry_in = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(1, 0)])[..., :NUM_LIMBS]
     return ((a << 1) & MASK) | (carry_in >> (LIMB_BITS - 1))

@@ -217,6 +217,14 @@ class MemoryOpStage:
     write_value: Optional[ExprPlan]
     predicate: Optional[ExprPlan]
     opcode_index: int
+    # Runtime operation selector (memory_operation.rs:5-31: 0 = read, else
+    # write, evaluated per instance at solve time).  None = the selector is
+    # the compile-time constant captured in ``is_read`` (the common case).
+    # Read semantics with ``read_into is None``: the reference PANICS when a
+    # read's value expression does not partial-evaluate to an unassigned
+    # witness (memory_op.rs:94-96 ``.expect``) — the batched analogue flips
+    # the instance's fail flag.
+    op_sel: Optional[ExprPlan] = None
 
 
 @dataclass
@@ -717,21 +725,65 @@ class _Planner:
 
     def _plan_memory_op(self, opcode_index: int, op: ops.OpcodeMemoryOp):
         operation = op.op.operation.to_const()
-        if operation is None:
-            raise PlanError(
-                f"opcode {opcode_index}: memory op with non-constant operation "
-                "selector is not supported by the batched planner"
-            )
-        is_read = operation.is_zero()
         idx_plan, idx_lvl = self._plan_expr(op.op.index)
         pred_plan, pred_lvl = self._plan_opt_expr(op.predicate)
         dep = max(idx_lvl, pred_lvl)
 
+        if operation is None:
+            # Runtime operation selector (memory_operation.rs:5-31 /
+            # memory_op.rs:47-123): each instance evaluates the selector and
+            # acts as a read (0) or write (non-zero).  The batched stage
+            # masks both behaviors per instance (run_memory_op).
+            sel_plan, sel_lvl = self._plan_expr(op.op.operation)
+            dep = max(dep, sel_lvl)
+            value_w = op.op.value.to_witness()
+            val_plan = None
+            read_into = None
+            if value_w is None or int(value_w) in self.known_level:
+                # The value partial-evaluates (a compound expression, or a
+                # witness already assigned): read-active instances hit the
+                # reference's "must read into a specified witness" panic
+                # (memory_op.rs:94-96) -> per-instance failure; write-active
+                # instances evaluate the expression normally.
+                val_plan, val_lvl = self._plan_expr(op.op.value)
+                dep = max(dep, val_lvl)
+            else:
+                read_into = int(value_w)
+                # Unknown witness: reads assign it; write-active instances
+                # cannot evaluate the stored value -> per-instance failure
+                # (the reference's OpcodeNotSolvable, pwg/mod.rs:72-127).
+            level_idx = max(dep + 1, self.mem_level.get(op.block_id.id, 0) + 1)
+            self._level(level_idx).memory.append(
+                MemoryOpStage(
+                    op.block_id.id, False, idx_plan, read_into, val_plan,
+                    pred_plan, opcode_index, op_sel=sel_plan,
+                )
+            )
+            if read_into is not None:
+                self._mark_known(read_into, level_idx)
+            self.mem_level[op.block_id.id] = level_idx
+            return
+        is_read = operation.is_zero()
+
         if is_read:
             read_into = op.op.value.to_witness()
-            assert read_into is not None, (
-                "Memory must be read into a specified witness index"
-            )
+            if read_into is not None and int(read_into) in self.known_level:
+                # Partial evaluation folds an assigned witness into a
+                # constant, so the reference panics on this read
+                # (memory_op.rs:94-96); every instance fails.
+                read_into = None
+            if read_into is None:
+                level_idx = max(
+                    dep + 1, self.mem_level.get(op.block_id.id, 0) + 1
+                )
+                self._level(level_idx).memory.append(
+                    MemoryOpStage(
+                        op.block_id.id, True, idx_plan, None, None,
+                        pred_plan, opcode_index,
+                    )
+                )
+                self.mem_level[op.block_id.id] = level_idx
+                return
             level_idx = max(dep + 1, self.mem_level.get(op.block_id.id, 0) + 1)
             self._level(level_idx).memory.append(
                 MemoryOpStage(

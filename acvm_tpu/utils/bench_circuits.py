@@ -107,8 +107,11 @@ def build_gadget_circuit(
     batches, not just arithmetic gates).
 
     kinds: "sha256" / "blake2s" / "keccak256" (per gadget: ``msg_len``
-    byte-witness inputs -> 32 byte-witness outputs) and "pedersen"
-    (2 field inputs -> commitment point x, y).
+    byte-witness inputs -> 32 byte-witness outputs), "pedersen"
+    (2 field inputs -> commitment point x, y), "fixed_base" (2 u128-limb
+    inputs -> point x, y), "schnorr" (pub x/y + 64 sig bytes + ``msg_len``
+    message bytes -> bool), and "ecdsa_k1" / "ecdsa_r1" (32+32 pubkey bytes
+    + 64 sig bytes + 32 hashed-message bytes -> bool).
     """
     opcodes: List[ops.Opcode] = []
     next_witness = 1
@@ -120,6 +123,9 @@ def build_gadget_circuit(
         next_witness += 1
         return w
 
+    def fresh_n(n: int) -> List[Witness]:
+        return [fresh() for _ in range(n)]
+
     for _ in range(num_gadgets):
         if kind == "pedersen":
             ins = [fresh(), fresh()]
@@ -129,6 +135,43 @@ def build_gadget_circuit(
                 inputs=[ops.FunctionInput(w, 254) for w in ins],
                 domain_separator=0,
                 outputs=outs,
+            )
+        elif kind == "fixed_base":
+            low, high = fresh(), fresh()
+            input_witnesses.extend([low, high])
+            call = ops.BBFixedBaseScalarMul(
+                low=ops.FunctionInput(low, 128),
+                high=ops.FunctionInput(high, 128),
+                outputs=(fresh(), fresh()),
+            )
+        elif kind == "schnorr":
+            pub_x, pub_y = fresh(), fresh()
+            sig = fresh_n(64)
+            msg = fresh_n(msg_len)
+            input_witnesses.extend([pub_x, pub_y] + sig + msg)
+            call = ops.BBSchnorrVerify(
+                public_key_x=ops.FunctionInput(pub_x, 254),
+                public_key_y=ops.FunctionInput(pub_y, 254),
+                signature=[ops.FunctionInput(w, 8) for w in sig],
+                message=[ops.FunctionInput(w, 8) for w in msg],
+                output=fresh(),
+            )
+        elif kind in ("ecdsa_k1", "ecdsa_r1"):
+            px = fresh_n(32)
+            py = fresh_n(32)
+            sig = fresh_n(64)
+            hashed = fresh_n(32)
+            input_witnesses.extend(px + py + sig + hashed)
+            cls = (
+                ops.BBEcdsaSecp256k1 if kind == "ecdsa_k1"
+                else ops.BBEcdsaSecp256r1
+            )
+            call = cls(
+                public_key_x=[ops.FunctionInput(w, 8) for w in px],
+                public_key_y=[ops.FunctionInput(w, 8) for w in py],
+                signature=[ops.FunctionInput(w, 8) for w in sig],
+                hashed_message=[ops.FunctionInput(w, 8) for w in hashed],
+                output=fresh(),
             )
         else:
             ins = [fresh() for _ in range(msg_len)]
@@ -187,6 +230,79 @@ def gadget_inputs_columnar(
             )
             for w in witnesses
         }
+    if kind == "fixed_base":
+        # low/high u128 limbs; combined scalar stays far below the grumpkin
+        # group order (values < 2^64).
+        cols = {}
+        for opcode in circuit.opcodes:
+            call = opcode.call
+            cols[int(call.low.witness)] = rng.integers(
+                1, 1 << 63, size=batch, dtype=np.uint64
+            )
+            cols[int(call.high.witness)] = np.zeros(batch, dtype=np.uint64)
+        return cols
+    if kind == "schnorr":
+        from ..blackbox import grumpkin as gk
+
+        pyrng = random.Random(seed)
+        sk = pyrng.randrange(1, gk.grumpkin.params.n)
+        pub_x, pub_y = gk.schnorr_public_key(sk)
+        cols = {}
+        for opcode in circuit.opcodes:
+            call = opcode.call
+            msg = bytes(
+                pyrng.randrange(256) for _ in range(len(call.message))
+            )
+            sig = gk.schnorr_sign(sk, msg)
+            cols[int(call.public_key_x.witness)] = np.array(
+                [int(pub_x)] * batch, dtype=object
+            )
+            cols[int(call.public_key_y.witness)] = np.array(
+                [int(pub_y)] * batch, dtype=object
+            )
+            for j, fi in enumerate(call.signature):
+                cols[int(fi.witness)] = np.full(batch, sig[j], dtype=np.uint8)
+            for j, fi in enumerate(call.message):
+                cols[int(fi.witness)] = np.full(batch, msg[j], dtype=np.uint8)
+        return cols
+    if kind in ("ecdsa_k1", "ecdsa_r1"):
+        from ..blackbox.ec import secp256k1, secp256r1
+
+        curve = secp256k1 if kind == "ecdsa_k1" else secp256r1
+        pyrng = random.Random(seed)
+        n = curve.params.n
+        d = pyrng.randrange(1, n)
+        Q = curve.mul(d, curve.generator())
+        cols = {}
+        for opcode in circuit.opcodes:
+            call = opcode.call
+            z_bytes = bytes(pyrng.randrange(256) for _ in range(32))
+            z = int.from_bytes(z_bytes, "big")
+            while True:
+                k = pyrng.randrange(1, n)
+                r = curve.mul(k, curve.generator())[0] % n
+                if r == 0:
+                    continue
+                s = pow(k, -1, n) * (z + r * d) % n
+                if s == 0:
+                    continue
+                if s > n // 2:
+                    s = n - s  # low-S (blackbox_solver/src/lib.rs:101-210)
+                break
+            sig = r.to_bytes(32, "big") + s.to_bytes(32, "big")
+            qx = Q[0].to_bytes(32, "big")
+            qy = Q[1].to_bytes(32, "big")
+            for j, fi in enumerate(call.public_key_x):
+                cols[int(fi.witness)] = np.full(batch, qx[j], dtype=np.uint8)
+            for j, fi in enumerate(call.public_key_y):
+                cols[int(fi.witness)] = np.full(batch, qy[j], dtype=np.uint8)
+            for j, fi in enumerate(call.signature):
+                cols[int(fi.witness)] = np.full(batch, sig[j], dtype=np.uint8)
+            for j, fi in enumerate(call.hashed_message):
+                cols[int(fi.witness)] = np.full(
+                    batch, z_bytes[j], dtype=np.uint8
+                )
+        return cols
     cols = {
         w: rng.integers(0, 256, size=batch, dtype=np.uint8) for w in witnesses
     }

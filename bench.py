@@ -56,6 +56,9 @@ EXTRA_NAMES = [
     "sha256_solves_per_sec",
     "keccak256_solves_per_sec",
     "pedersen_solves_per_sec",
+    "schnorr_solves_per_sec",
+    "ecdsa_k1_solves_per_sec",
+    "fixed_base_solves_per_sec",
     "dyn_solves_per_sec",
     "mesh1_overhead_pct",
     "b10k_solves_per_sec",
@@ -230,10 +233,11 @@ def _gadget_throughput(kind: str, batch: int, num_gadgets: int, msg_len: int):
 
     circuit = build_gadget_circuit(kind, num_gadgets=num_gadgets, msg_len=msg_len)
     solver = BatchSolver(plan_circuit(circuit))
-    # Byte-message kinds use device-resident columns (the upstream-on-device
-    # production pattern): the tunneled runtime's ~34 MB/s host->device
-    # upload otherwise dominates and measures the link, not the engine.
-    if kind != "pedersen":
+    # Byte-message hash kinds use device-resident columns (the
+    # upstream-on-device production pattern): the tunneled runtime's
+    # ~34 MB/s host->device upload otherwise dominates and measures the
+    # link, not the engine.
+    if kind in ("sha256", "blake2s", "keccak256"):
         import jax.numpy as jnp
         import numpy as _np0
 
@@ -337,14 +341,14 @@ def _b10k_throughput():
     # warm-up/compile on one chunk
     chunk = solver.max_batch_per_pass()
     solver.solve(inputs[:chunk])
+    # Aggregate solve: BatchSolver._solve_streamed double-buffers the stream
+    # (chunk k+1's host packing on a prefetch thread while chunk k solves;
+    # flag readbacks drained only after the next chunk's device work is
+    # enqueued).
     t0 = _time.perf_counter()
-    total_ok = 0
-    for result in solver.solve_chunks(inputs):
-        assert bool(result.ok.all())
-        total_ok += int(result.ok.shape[0])
-        result.release()  # two HBM-sized panels must never coexist
+    result = solver.solve(inputs)
     elapsed = _time.perf_counter() - t0
-    assert total_ok == B
+    assert bool(result.ok.all()) and result.ok.shape[0] == B
     # Multi-second end-to-end run: the per-pass RTTs are part of the real
     # cost here, so no RTT subtraction.
     return B * levels * gpl / elapsed
@@ -355,15 +359,12 @@ def _mesh1_overhead(batch: int, levels: int, gates_per_level: int):
     through a 1-device jax.sharding.Mesh vs the plain path (BASELINE.json
     configs 4-5 need the machinery; this measures its single-chip tax).
 
-    Both sides run the legacy batch-major engine (ACVM_TPU_NO_FUSED):
-    sharded solves don't take the fused rows-layout path yet, so comparing
-    fused-plain vs legacy-sharded would report the engine difference
-    (~74%), not the sharding tax this metric is for."""
-    import os
-
+    Round 5: BOTH sides run the fused rows-layout engine — sharded solves now
+    shard the witness-major panel on its S axis and run the fused kernel
+    per-shard under shard_map, so this measures the shard_map tax on the
+    production engine."""
     import jax
 
-    os.environ["ACVM_TPU_NO_FUSED"] = "1"
     from acvm_tpu.parallel import make_mesh
     from acvm_tpu.tpu import BatchSolver, plan_circuit
     from acvm_tpu.utils import build_wide_arith_circuit, random_inputs
@@ -421,10 +422,17 @@ def _run_extra(name: str, batch: int):
     if name == "keccak256_solves_per_sec":
         return _gadget_throughput("keccak256", gbatch, 8, 64)
     if name == "pedersen_solves_per_sec":
-        # Pedersen's device MSM (64-window EC scans per input) is the most
-        # compile-expensive gadget — keep its panel small so a cold cache
-        # stays inside the driver budget.
-        return _gadget_throughput("pedersen", min(gbatch, 256), 2, 0)
+        # Round-5 tree-reduced MSM: log2(n*64) wide pt_add rounds instead of
+        # the sequential 64-step window scan; batch raised accordingly.
+        return _gadget_throughput("pedersen", min(gbatch, 2048), 2, 0)
+    if name == "schnorr_solves_per_sec":
+        # Cost model (BASELINE.md "EC gadget cost models"): dominated by the
+        # 256-round variable-base e*P ladder (~6.6k montmuls/instance).
+        return _gadget_throughput("schnorr", 256, 2, 32)
+    if name == "ecdsa_k1_solves_per_sec":
+        return _gadget_throughput("ecdsa_k1", 256, 2, 0)
+    if name == "fixed_base_solves_per_sec":
+        return _gadget_throughput("fixed_base", min(gbatch, 4096), 4, 0)
     if name == "dyn_solves_per_sec":
         return _dyn_throughput(batch, 4, 4096)
     if name == "mesh1_overhead_pct":

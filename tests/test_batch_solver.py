@@ -354,3 +354,159 @@ def test_host_stage_batch_throughput():
     got = result.witness_maps()[0]
     for w in bit_witnesses:
         assert got.get(w) == expected.get(w)
+
+
+def test_packed_matrix_rejects_wide_dtype_and_duplicates():
+    """ADVICE r4: the packed-matrix ingest writes each value whole into one
+    16-bit limb slot — wider dtypes and duplicate columns must be rejected."""
+    from acvm_tpu.utils import build_wide_arith_circuit
+
+    circuit = build_wide_arith_circuit(
+        num_inputs=4, num_levels=1, gates_per_level=4
+    )
+    solver = BatchSolver(plan_circuit(circuit))
+    cols = sorted(int(w) for w in circuit.circuit_arguments())
+    good = np.random.default_rng(0).integers(
+        0, 256, size=(4, len(cols)), dtype=np.uint8
+    )
+    assert solver.solve((cols, good)).ok.all()
+    with pytest.raises(ValueError, match="uint8/uint16"):
+        solver.initial_state((cols, good.astype(np.uint32)))
+    dup = [cols[0]] + cols[1:]
+    dup[1] = cols[0]
+    with pytest.raises(ValueError, match="duplicate"):
+        solver.initial_state((dup, good))
+
+
+def test_wide_expression_level_routes_to_legacy_path():
+    """ADVICE r4: levels whose descriptor cannot fit SMEM even at the minimum
+    chunk must route to the legacy path instead of failing at Mosaic compile."""
+    from acvm_tpu.fields.params import BN254_FR
+    from acvm_tpu.tpu.fused_level import desc_fits
+    from acvm_tpu.utils import random_inputs
+
+    assert desc_fits(2, 1)
+    assert not desc_fits(80, 0)
+
+    # An 80-term linear gate: solvable (one unknown), too wide to fuse.
+    p = BN254_FR.modulus
+    rng = random.Random(3)
+    n_in = 80
+    ins = [Witness(i + 1) for i in range(n_in)]
+    out = Witness(n_in + 1)
+    expr = Expression(
+        linear_combinations=[
+            (FieldElement(rng.randrange(1, p)), w) for w in ins
+        ]
+        + [(-FieldElement.one(), out)],
+        q_c=FieldElement(5),
+    )
+    circuit = Circuit(
+        current_witness_index=n_in + 1,
+        opcodes=[ops.OpcodeArithmetic(expr)],
+        private_parameters=set(ins),
+    )
+    solver = BatchSolver(plan_circuit(circuit))
+    groups = solver._scan_groups(solver.segments[0].levels)
+    assert all(g[2] is None for g in groups), "wide level must not pack a desc"
+    inputs = random_inputs(circuit, 4)
+    result = solver.solve(inputs)
+    assert result.ok.all()
+    expected = (
+        sum(
+            c.value * inputs[0][int(w)]
+            for c, w in expr.linear_combinations[:-1]
+        )
+        + 5
+    ) % p
+    assert result.witness_ints(int(out))[0] == expected
+
+
+def test_memory_op_runtime_selector_matches_sequential():
+    """Round-5: memory op whose operation selector is a runtime expression
+    (memory_operation.rs:5-31) — instances mix reads and writes in one
+    batch.  The value here is an already-known witness, so it partial-
+    evaluates to a constant: read-active instances hit the reference's
+    "must read into a specified witness" panic (memory_op.rs:94-96), whose
+    batched analogue is the instance fail flag; write-active instances
+    store the evaluated value."""
+    w = lambda i: Witness(i)
+    block = ops.BlockId(0)
+    opcodes = [
+        ops.OpcodeMemoryInit(block, [w(3), w(4)]),
+        # op: selector = w1 (0 => read, else write), index 0, value = w2
+        ops.OpcodeMemoryOp(
+            block,
+            ops.MemOp(
+                operation=Expression.from_witness(w(1)),
+                index=Expression.zero(),
+                value=Expression.from_witness(w(2)),
+            ),
+            predicate=None,
+        ),
+        # static read-back: w6 = block[0]
+        ops.OpcodeMemoryOp(
+            block,
+            ops.MemOp.read_at_mem_index(Expression.zero(), w(6)),
+            predicate=None,
+        ),
+    ]
+    circuit = Circuit(
+        current_witness_index=6,
+        opcodes=opcodes,
+        private_parameters={w(1), w(2), w(3), w(4)},
+    )
+    instances = [
+        {1: 0, 2: 10, 3: 10, 4: 20},  # read into evaluable value: panic
+        {1: 1, 2: 99, 3: 10, 4: 20},  # write 99 at [0]
+        {1: 5, 2: 55, 3: 10, 4: 20},  # non-zero selector = write
+    ]
+    solver = BatchSolver(plan_circuit(circuit))
+    result = solver.solve(instances)
+    assert list(result.ok) == [False, True, True]
+    assert result.witness_ints(6)[1] == 99
+    assert result.witness_ints(6)[2] == 55
+
+    # Sequential engine: the read instance panics (AssertionError mirrors
+    # the reference's .expect), write instances solve and match bit-exactly.
+    with pytest.raises(AssertionError):
+        sequential_solve(circuit, instances[0])
+    for b in (1, 2):
+        status, acvm = sequential_solve(circuit, instances[b])
+        assert status == ACVMStatus.SOLVED
+        assert result.witness_ints(6)[b] == int(acvm.finalize().get(w(6)))
+
+
+def test_memory_op_runtime_selector_unknown_value_witness():
+    """Runtime selector where the value witness is UNKNOWN: reads assign it;
+    write-active instances cannot evaluate the stored value and fail (the
+    reference's OpcodeNotSolvable)."""
+    w = lambda i: Witness(i)
+    block = ops.BlockId(0)
+    opcodes = [
+        ops.OpcodeMemoryInit(block, [w(2), w(3)]),
+        ops.OpcodeMemoryOp(
+            block,
+            ops.MemOp(
+                operation=Expression.from_witness(w(1)),
+                index=Expression.zero(),
+                value=Expression.from_witness(w(5)),
+            ),
+            predicate=None,
+        ),
+    ]
+    circuit = Circuit(
+        current_witness_index=5,
+        opcodes=opcodes,
+        private_parameters={w(1), w(2), w(3)},
+    )
+    instances = [
+        {1: 0, 2: 42, 3: 13},  # read: w5 = 42
+        {1: 1, 2: 42, 3: 13},  # write of an unknown witness: failure
+    ]
+    solver = BatchSolver(plan_circuit(circuit))
+    result = solver.solve(instances)
+    assert list(result.ok) == [True, False]
+    assert result.witness_ints(5)[0] == 42
+    status, _ = sequential_solve(circuit, instances[1])
+    assert status != ACVMStatus.SOLVED

@@ -1,0 +1,236 @@
+"""Tier-2 device Brillig VM (divergent bytecode) vs the per-instance host VM.
+
+Round-4 verdict item 6: Jump/JumpIf/Load/Store bytecode previously ran one
+host interpreter per instance.  These tests build branchy fixtures (loops
+with per-instance trip counts, binary search over a memory array,
+Call/Return, conditional Trap) and pin the batched device VM bit-exact
+against the sequential path (ACVM_TPU_NO_HOST_BATCH=1), including failure
+flags.  Reference semantics: brillig_vm/src/lib.rs:136-307.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from acvm_tpu import brillig as br
+from acvm_tpu.acir import Circuit, Expression, Witness
+from acvm_tpu.acir import opcodes as ops
+from acvm_tpu.fields import FieldElement
+from acvm_tpu.tpu import BatchSolver, plan_circuit
+from acvm_tpu.tpu.brillig_vm_device import device_vm_eligible
+
+R = br.RegisterIndex
+V = br.Value.from_int
+
+
+def _sum_loop_block(in_w, out_w):
+    """out = sum(1..n) via a JumpIfNot loop — per-instance trip counts."""
+    bytecode = [
+        # r0 = n (input), r1 = acc = 0, r2 = one
+        br.OpConst(R(1), V(0)),
+        br.OpConst(R(2), V(1)),
+        # loop: if r0 == 0 goto end(6)
+        br.OpJumpIfNot(R(0), 6),
+        br.OpBinaryIntOp(R(1), br.BinaryIntOp.Add, 64, R(1), R(0)),
+        br.OpBinaryIntOp(R(0), br.BinaryIntOp.Sub, 64, R(0), R(2)),
+        br.OpJump(2),
+        # end: move acc to r0 (output register 0)
+        br.OpMov(R(0), R(1)),
+        br.OpStop(),
+    ]
+    return ops.OpcodeBrillig(
+        ops.Brillig(
+            inputs=[ops.BrilligInputSingle(Expression.from_witness(in_w))],
+            outputs=[ops.BrilligOutputSimple(out_w)],
+            foreign_call_results=[],
+            bytecode=bytecode,
+            predicate=None,
+        )
+    )
+
+
+def _binary_search_block(arr_ws, needle_w, out_w):
+    """out = index of needle in the sorted array (via Load + branches)."""
+    n = len(arr_ws)
+    bytecode = [
+        # r0 = base pointer (array input), r1 = needle
+        br.OpConst(R(2), V(0)),        # lo
+        br.OpConst(R(3), V(n)),        # hi
+        br.OpConst(R(4), V(1)),        # one
+        br.OpConst(R(5), V(2)),        # two
+        # loop(4): if lo >= hi -> done(16)
+        br.OpBinaryIntOp(R(6), br.BinaryIntOp.LessThan, 64, R(2), R(3)),
+        br.OpJumpIfNot(R(6), 16),
+        # mid = (lo + hi) / 2
+        br.OpBinaryIntOp(R(7), br.BinaryIntOp.Add, 64, R(2), R(3)),
+        br.OpBinaryIntOp(R(7), br.BinaryIntOp.UnsignedDiv, 64, R(7), R(5)),
+        # v = mem[base + mid]
+        br.OpBinaryIntOp(R(8), br.BinaryIntOp.Add, 64, R(0), R(7)),
+        br.OpLoad(R(9), R(8)),
+        # if v < needle: lo = mid + 1 else hi = mid
+        br.OpBinaryIntOp(R(10), br.BinaryIntOp.LessThan, 64, R(9), R(1)),
+        br.OpJumpIfNot(R(10), 14),
+        br.OpBinaryIntOp(R(2), br.BinaryIntOp.Add, 64, R(7), R(4)),
+        br.OpJump(4),
+        br.OpMov(R(3), R(7)),          # 14: hi = mid
+        br.OpJump(4),
+        # 16: output register 0 = lo
+        br.OpMov(R(0), R(2)),
+        br.OpStop(),
+    ]
+    return ops.OpcodeBrillig(
+        ops.Brillig(
+            inputs=[
+                ops.BrilligInputArray(
+                    [Expression.from_witness(w) for w in arr_ws]
+                ),
+                ops.BrilligInputSingle(Expression.from_witness(needle_w)),
+            ],
+            outputs=[ops.BrilligOutputSimple(out_w)],
+            foreign_call_results=[],
+            bytecode=bytecode,
+            predicate=None,
+        )
+    )
+
+
+def _call_trap_block(in_w, out_w):
+    """Call/Return plus a conditional Trap (traps when input == 7)."""
+    bytecode = [
+        br.OpCall(3),                  # call sub
+        br.OpMov(R(0), R(1)),
+        br.OpStop(),
+        # sub(3): r1 = in * 3; trap if in == 7
+        br.OpConst(R(2), V(3)),
+        br.OpBinaryIntOp(R(1), br.BinaryIntOp.Mul, 64, R(0), R(2)),
+        br.OpConst(R(3), V(7)),
+        br.OpBinaryIntOp(R(4), br.BinaryIntOp.Equals, 64, R(0), R(3)),
+        br.OpJumpIfNot(R(4), 9),
+        br.OpTrap(),
+        br.OpReturn(),                 # 9
+    ]
+    return ops.OpcodeBrillig(
+        ops.Brillig(
+            inputs=[ops.BrilligInputSingle(Expression.from_witness(in_w))],
+            outputs=[ops.BrilligOutputSimple(out_w)],
+            foreign_call_results=[],
+            bytecode=bytecode,
+            predicate=None,
+        )
+    )
+
+
+def _solve_both(circuit, instances, read_witnesses):
+    """(device-tier result, per-instance result): values + ok flags."""
+    plan = plan_circuit(circuit)
+
+    def run():
+        solver = BatchSolver(plan)
+        res = solver.solve(instances)
+        vals = {w: res.witness_ints(w) for w in read_witnesses}
+        return vals, list(res.ok), list(res.fail)
+
+    fast = run()
+    os.environ["ACVM_TPU_NO_HOST_BATCH"] = "1"
+    try:
+        slow = run()
+    finally:
+        del os.environ["ACVM_TPU_NO_HOST_BATCH"]
+    return fast, slow
+
+
+def test_divergent_loop_matches_host():
+    opcode = _sum_loop_block(Witness(1), Witness(2))
+    assert device_vm_eligible(opcode.brillig)
+    circuit = Circuit(
+        current_witness_index=2,
+        opcodes=[opcode],
+        private_parameters={Witness(1)},
+    )
+    instances = [{1: n} for n in (0, 1, 5, 17, 100, 3, 63, 2)]
+    fast, slow = _solve_both(circuit, instances, [2])
+    assert fast == slow
+    assert fast[0][2] == [n * (n + 1) // 2 for n in (0, 1, 5, 17, 100, 3, 63, 2)]
+
+
+def test_binary_search_matches_host():
+    arr = [Witness(i) for i in range(1, 9)]
+    opcode = _binary_search_block(arr, Witness(9), Witness(10))
+    assert device_vm_eligible(opcode.brillig)
+    circuit = Circuit(
+        current_witness_index=10,
+        opcodes=[opcode],
+        private_parameters=set(arr) | {Witness(9)},
+    )
+    sorted_vals = [3, 7, 11, 20, 21, 40, 41, 90]
+    rng = np.random.default_rng(5)
+    instances = []
+    for _ in range(16):
+        needle = int(rng.choice(sorted_vals + [0, 15, 100]))
+        inst = {i + 1: sorted_vals[i] for i in range(8)}
+        inst[9] = needle
+        instances.append(inst)
+    fast, slow = _solve_both(circuit, instances, [10])
+    assert fast == slow
+    # Spot-check lower-bound semantics on one instance.
+    import bisect
+
+    for b, inst in enumerate(instances):
+        assert fast[0][10][b] == bisect.bisect_left(sorted_vals, inst[9])
+
+
+def test_call_return_and_trap_flags():
+    opcode = _call_trap_block(Witness(1), Witness(2))
+    assert device_vm_eligible(opcode.brillig)
+    circuit = Circuit(
+        current_witness_index=2,
+        opcodes=[opcode],
+        private_parameters={Witness(1)},
+    )
+    instances = [{1: n} for n in (2, 7, 9, 7, 0)]
+    fast, slow = _solve_both(circuit, instances, [2])
+    assert fast[1] == slow[1] == [True, False, True, False, True]
+    assert fast[2] == slow[2]  # first-failure opcode indices
+    for b, n in enumerate((2, 7, 9, 7, 0)):
+        if n != 7:
+            assert fast[0][2][b] == slow[0][2][b] == n * 3
+
+
+@pytest.mark.skipif(
+    __import__("jax").default_backend() not in ("tpu", "axon"),
+    reason="the >=20x criterion is a hardware number; the CPU backend's "
+    "per-step dispatch inside while_loop gives only ~3x",
+)
+def test_device_vm_speedup_over_per_instance():
+    """VERDICT done-criterion: a branchy B=1024 batch beats the per-instance
+    host path >= 20x (host-stage seconds, compiles excluded)."""
+    from acvm_tpu.utils.profiling import SolveStats
+
+    opcode = _sum_loop_block(Witness(1), Witness(2))
+    circuit = Circuit(
+        current_witness_index=2,
+        opcodes=[opcode],
+        private_parameters={Witness(1)},
+    )
+    B = 1024
+    rng = np.random.default_rng(3)
+    instances = [{1: int(rng.integers(0, 200))} for _ in range(B)]
+    plan = plan_circuit(circuit)
+
+    def host_seconds() -> float:
+        solver = BatchSolver(plan)
+        solver.solve(instances)  # warm-up (compiles excluded)
+        stats = SolveStats()
+        res = solver.solve(instances, stats=stats)
+        assert bool(res.ok.all())
+        return sum(stats.host_stage_seconds)
+
+    fast = host_seconds()
+    os.environ["ACVM_TPU_NO_HOST_BATCH"] = "1"
+    try:
+        slow = host_seconds()
+    finally:
+        del os.environ["ACVM_TPU_NO_HOST_BATCH"]
+    assert fast * 20 < slow, (fast, slow)
+    print(f"device-VM speedup: {slow / fast:.0f}x ({slow:.3f}s -> {fast:.3f}s)")

@@ -97,3 +97,51 @@ def test_solver_and_mesh_shape(monkeypatch):
     result = solver.solve([{1: 41}, {1: 1}])
     assert result.ok.all()
     assert result.witness_ints(2) == [42, 2]
+
+
+def test_config_generator_table_does_not_leak_across_configs():
+    """A config with pedersen_generators installs the table; a later config
+    WITHOUT one must not inherit it (ADVICE r4: module-global external
+    generator store leaked across EngineConfigs)."""
+    from acvm_tpu.blackbox.grumpkin import (
+        clear_external_generators,
+        derive_generator,
+        grumpkin,
+    )
+
+    baseline = derive_generator(0, 0)
+    # A synthetic on-curve table: 2*G and 3*G.
+    g = grumpkin.generator()
+    table = (grumpkin.add(g, g), grumpkin.add(grumpkin.add(g, g), g))
+    try:
+        injected = EngineConfig(pedersen_generators=table)
+        injected.plan(_arith_circuit())
+        assert derive_generator(0, 0) == table[0]
+        # Plain config: must clear the config-installed table.
+        DEFAULT_CONFIG.plan(_arith_circuit())
+        assert derive_generator(0, 0) == baseline
+    finally:
+        clear_external_generators()
+        import acvm_tpu.config as config_mod
+
+        config_mod._GENERATORS_FROM_CONFIG = False
+
+
+def test_direct_generator_injection_survives_plain_config():
+    """Tables installed directly via set_external_generators (not through a
+    config) are left alone by configs without pedersen_generators."""
+    from acvm_tpu.blackbox.grumpkin import (
+        clear_external_generators,
+        derive_generator,
+        grumpkin,
+        set_external_generators,
+    )
+
+    g = grumpkin.generator()
+    table = (grumpkin.add(g, g),)
+    try:
+        set_external_generators(table)
+        DEFAULT_CONFIG.plan(_arith_circuit())
+        assert derive_generator(0, 0) == table[0]
+    finally:
+        clear_external_generators()

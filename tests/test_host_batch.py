@@ -250,3 +250,56 @@ def test_host_batch_speedup():
 
     assert fast * 10 < slow, (fast, slow)
     print(f"host-stage speedup: {slow / fast:.1f}x ({slow:.3f}s -> {fast:.3f}s)")
+
+
+def test_host_permutation_sort_batch_bit_exact():
+    """Batched PermutationSort (round-5): tuple evaluation vectorized across
+    instances, bit-exact vs the per-instance sequential path, including
+    duplicate keys (stable sort) and multi-column sort_by."""
+    n = 8
+    in_w = list(range(1, 2 * n + 1))  # tuples (w_{2i+1}, w_{2i+2})
+    n_bits = 0
+    # route() emits n//2 + (n-1)//2 + recursive bits; just count via a dry run
+    from acvm_tpu.fields.field import FieldElement as FE
+    from acvm_tpu.pwg.sorting import route
+
+    n_bits = len(route([FE(i) for i in range(n)], [FE(i) for i in range(n)]))
+    bit_w = [2 * n + 1 + k for k in range(n_bits)]
+    directive = ops.DirPermutationSort(
+        inputs=[
+            [
+                Expression.from_witness(Witness(2 * i + 1)),
+                Expression.from_witness(Witness(2 * i + 2)),
+            ]
+            for i in range(n)
+        ],
+        tuple_size=2,
+        bits=[Witness(w) for w in bit_w],
+        sort_by=[0, 1],
+    )
+    circuit = Circuit(
+        current_witness_index=bit_w[-1],
+        opcodes=[ops.OpcodeDirective(directive)],
+        private_parameters={Witness(w) for w in in_w},
+    )
+    plan = plan_circuit(circuit)
+    B = 256
+    rng = np.random.default_rng(11)
+    # Small value range forces duplicate sort keys (stability matters).
+    inputs = [
+        {w: int(rng.integers(0, 4)) for w in in_w} for _ in range(B)
+    ]
+
+    def solve_bits():
+        solver = BatchSolver(plan)
+        res = solver.solve(inputs)
+        assert bool(res.ok.all())
+        return np.stack([res.witness_ints(w) for w in bit_w], axis=1)
+
+    fast = solve_bits()
+    os.environ["ACVM_TPU_NO_HOST_BATCH"] = "1"
+    try:
+        slow = solve_bits()
+    finally:
+        del os.environ["ACVM_TPU_NO_HOST_BATCH"]
+    assert (fast == slow).all()

@@ -103,3 +103,50 @@ def test_sharded_pedersen_msm():
         """
     )
     assert "SHARDED_MSM_OK" in out
+
+
+@pytest.mark.slow
+def test_fused_engine_sharded_over_mesh():
+    """Round-5: the fused rows-layout engine sharded on its S axis via
+    shard_map (off-TPU the level runs the vectorized jnp twin of the Pallas
+    kernel — same descriptor semantics), bit-exact vs the sequential
+    engine."""
+    out = run_cpu_subprocess(
+        """
+        import os
+        os.environ["ACVM_TPU_FUSED_INTERPRET"] = "1"
+        import numpy as np
+        from acvm_tpu.parallel import make_mesh
+        from acvm_tpu.tpu import BatchSolver, plan_circuit
+        from acvm_tpu.utils import build_wide_arith_circuit, random_inputs
+
+        circuit = build_wide_arith_circuit(
+            num_inputs=16, num_levels=2, gates_per_level=128
+        )
+        plan = plan_circuit(circuit)
+        mesh = make_mesh(jax.devices()[:4])
+        solver = BatchSolver(plan, mesh=mesh)
+        B = 4096
+        assert solver._fused_eligible(B)
+        inputs = random_inputs(circuit, B)
+        res = solver.solve(inputs)
+        assert res.ok.all()
+
+        from acvm_tpu.acir import Witness, WitnessMap
+        from acvm_tpu.blackbox import StubBlackBoxSolver
+        from acvm_tpu.fields import FieldElement
+        from acvm_tpu.pwg import ACVM, ACVMStatus
+
+        wm = WitnessMap()
+        for w, v in inputs[0].items():
+            wm.insert(Witness(w), FieldElement(v))
+        acvm = ACVM(StubBlackBoxSolver(), circuit.opcodes, wm)
+        assert acvm.solve() == ACVMStatus.SOLVED
+        last = circuit.current_witness_index
+        assert res.witness_ints(last)[0] == int(
+            acvm.finalize().get(Witness(last))
+        )
+        print("FUSED_MESH_OK")
+        """
+    )
+    assert "FUSED_MESH_OK" in out

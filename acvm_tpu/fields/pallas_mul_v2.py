@@ -109,6 +109,100 @@ def cios_unrolled(a, b, p_limbs: list[int], n0_inv: int):
     return t
 
 
+def cios_multi(pairs, p_limbs: list[int], n0_inv: int):
+    """Fused multi-multiplicand CIOS: one interleaved-reduction chain for
+    ``sum_t a_t * b_t`` (Montgomery product of the SUM, i.e. returns
+    ``(sum_t a_t*b_t) / R mod+ p``).
+
+    Sharing the per-round ``m*p`` reduction, carry bookkeeping and the final
+    normalize across all T terms is ~25-30% cheaper than T separate
+    ``cios_unrolled`` chains + adds (each full chain re-pays the reduction
+    half of every round).  This is the arithmetic-gate evaluation of
+    acvm/src/pwg/arithmetic.rs:27-127 restructured as ONE Montgomery dot
+    product instead of a sum of Montgomery products — identical value mod p.
+
+    ``pairs``: list of (a, b); each ``a`` is a list of L limbs (arrays,
+    scalars, or zero-arg callables — loaded lazily at the single round that
+    consumes them), each ``b`` a list of L arrays.  All limbs carry-
+    normalized 16-bit.  Values: a < p, b < 2p.
+
+    Returns L lazy accumulator limbs.  Value bound: the represented value is
+    < p + N/R with N = sum_t max(a_t)*max(b_t) (CIOS bound (N + (R-1)p)/R);
+    callers must pick the reduce-chain bound via :func:`cios_multi_bound`.
+    Intermediate limbs stay < 2^16*(2T+2)*L + carries << 2^32 for T <= 18
+    (each live limb gains at most (2T+2) 16-bit addends per round over L
+    rounds), so uint32 never overflows.
+    """
+    T = len(pairs)
+    assert 1 <= T <= 18
+    n0 = jnp.uint32(n0_inv)
+    zero = jnp.zeros_like(pairs[0][1][0])
+    t = [zero] * L
+
+    def m_times_p(m, j):
+        c = p_limbs[j]
+        if c == 0:
+            return None
+        if c == 1:
+            return m
+        return m * c
+
+    for i in range(L):
+        a_is = [
+            (a[i]() if callable(a[i]) else a[i]) for a, _ in pairs
+        ]
+        prods0 = [ai * b[0] for ai, (_, b) in zip(a_is, pairs)]
+        s0 = t[0]
+        for pr in prods0:
+            s0 = s0 + (pr & MASK)
+        # (s0 * n0) mod 2^32 keeps the low 16 bits we need (s0 may exceed
+        # 2^16; only s0 mod 2^16 affects m).
+        m = (s0 * n0) & MASK
+        mp0 = m_times_p(m, 0)
+        mp0_lo = 0 if mp0 is None else (mp0 if p_limbs[0] == 1 else mp0 & MASK)
+        carry0 = (s0 + mp0_lo) >> LIMB_BITS
+        phs = [pr >> LIMB_BITS for pr in prods0]
+        mh = None if (mp0 is None or p_limbs[0] == 1) else mp0 >> LIMB_BITS
+        nt = []
+        for j in range(1, L):
+            v = t[j]
+            for k, (_, b) in enumerate(pairs):
+                pr = a_is[k] * b[j]
+                v = v + (pr & MASK) + phs[k]
+                phs[k] = pr >> LIMB_BITS
+            mp = m_times_p(m, j)
+            if mp is not None:
+                v = v + (mp if p_limbs[j] == 1 else mp & MASK)
+            if mh is not None:
+                v = v + mh
+            mh = (
+                None
+                if (mp is None or p_limbs[j] == 1)
+                else mp >> LIMB_BITS
+            )
+            nt.append(v)
+        nt[0] = nt[0] + carry0
+        last = phs[0]
+        for ph in phs[1:]:
+            last = last + ph
+        if mh is not None:
+            last = last + mh
+        nt.append(last)
+        t = nt
+    return t
+
+
+def cios_multi_bound(params: FieldParams, n_lin: int, n_mul: int) -> int:
+    """Reduce-chain bound (multiples of p) for a :func:`cios_multi` result
+    over ``n_lin`` (coeff < p) x (value < p) pairs plus ``n_mul``
+    (coeff < p) x (product < 2p) pairs, PLUS one extra < p addend (qc).
+    Exact ceiling of (2p + N/R) / p."""
+    R = 1 << (LIMB_BITS * L)
+    p = params.modulus
+    N = n_lin * (p - 1) * (p - 1) + n_mul * (p - 1) * (2 * p - 1)
+    return 2 + -(-N // (R * p))
+
+
 def normalize(t):
     """Propagate carries: lazy limbs (< 2^22) -> canonical 16-bit limbs."""
     out = []
@@ -280,36 +374,60 @@ def _make_dot_kernel_v2(
             i += 1
         out_ref = refs[i]
 
-        # Accumulator starts at qc (< p); terms are reduced < p before the
-        # add, so a normalized accumulator stays < (terms + 1) * p and is
-        # re-canonicalized whenever the bound would reach 2^256.
-        acc = [_lane_bcast(qc_ref[j], tb) for j in range(L)]
-        bound = 1
-        k_max = _k_max(params)
+        multi_bound = cios_multi_bound(params, n_lin, n_mul)
+        if (n_lin or n_mul) and multi_bound <= 8:
+            # Fused-reduction evaluation: every term joins ONE cios_multi
+            # chain (shared per-round m*p reduction and carries) and qc joins
+            # the lazy accumulator before the single normalize — ~25-30%
+            # fewer vreg-ops than per-term chains at the common 2-3 terms.
+            pairs = []
+            for t in range(n_lin):
+                a = [(lambda j=j, t=t: _lane_bcast(coeff_l_ref[t, j], tb))
+                     for j in range(L)]
+                b = [lin_ref[t, j] for j in range(L)]
+                pairs.append((a, b))
+            for t in range(n_mul):
+                v1 = [mul1_ref[t, j] for j in range(L)]
+                v2 = [mul2_ref[t, j] for j in range(L)]
+                prod = normalize(cios_unrolled(v1, v2, pl_, n0))  # < 2p
+                a = [(lambda j=j, t=t: _lane_bcast(coeff_m_ref[t, j], tb))
+                     for j in range(L)]
+                pairs.append((a, prod))
+            lazy = cios_multi(pairs, pl_, n0)
+            lazy = [lazy[j] + _lane_bcast(qc_ref[j], tb) for j in range(L)]
+            r = _reduce_full(normalize(lazy), params, multi_bound)
+        else:
+            # Per-term chains: constant-only panels and very wide gates whose
+            # fused bound would exceed the 4p/2p/p reduce chain.
+            acc = [_lane_bcast(qc_ref[j], tb) for j in range(L)]
+            bound = 1
+            k_max = _k_max(params)
 
-        def add_term(acc, bound, term):
-            if bound + 1 > k_max:
-                acc = _reduce_full(normalize(acc), params, bound)
-                bound = 1
-            return [x + y for x, y in zip(acc, term)], bound + 1
+            def add_term(acc, bound, term):
+                if bound + 1 > k_max:
+                    acc = _reduce_full(normalize(acc), params, bound)
+                    bound = 1
+                return [x + y for x, y in zip(acc, term)], bound + 1
 
-        for t in range(n_lin):
-            a = [(lambda j=j: _lane_bcast(coeff_l_ref[t, j], tb))
-                 for j in range(L)]
-            b = [lin_ref[t, j] for j in range(L)]
-            term = cond_sub(normalize(cios_unrolled(a, b, pl_, n0)), pl_)
-            acc, bound = add_term(acc, bound, term)
+            for t in range(n_lin):
+                a = [(lambda j=j: _lane_bcast(coeff_l_ref[t, j], tb))
+                     for j in range(L)]
+                b = [lin_ref[t, j] for j in range(L)]
+                term = cond_sub(normalize(cios_unrolled(a, b, pl_, n0)), pl_)
+                acc, bound = add_term(acc, bound, term)
 
-        for t in range(n_mul):
-            v1 = [mul1_ref[t, j] for j in range(L)]
-            v2 = [mul2_ref[t, j] for j in range(L)]
-            prod = normalize(cios_unrolled(v1, v2, pl_, n0))  # < 2p
-            a = [(lambda j=j: _lane_bcast(coeff_m_ref[t, j], tb))
-                 for j in range(L)]
-            term = cond_sub(normalize(cios_unrolled(a, prod, pl_, n0)), pl_)
-            acc, bound = add_term(acc, bound, term)
+            for t in range(n_mul):
+                v1 = [mul1_ref[t, j] for j in range(L)]
+                v2 = [mul2_ref[t, j] for j in range(L)]
+                prod = normalize(cios_unrolled(v1, v2, pl_, n0))  # < 2p
+                a = [(lambda j=j: _lane_bcast(coeff_m_ref[t, j], tb))
+                     for j in range(L)]
+                term = cond_sub(
+                    normalize(cios_unrolled(a, prod, pl_, n0)), pl_
+                )
+                acc, bound = add_term(acc, bound, term)
 
-        r = _reduce_full(normalize(acc), params, bound)
+            r = _reduce_full(normalize(acc), params, bound)
         if has_scale:
             s = [(lambda j=j: _lane_bcast(scale_ref[j], tb))
                  for j in range(L)]

@@ -49,6 +49,8 @@ from ..fields.pallas_mul_v2 import (
     _k_max,
     _p_limbs,
     _reduce_full,
+    cios_multi,
+    cios_multi_bound,
     cios_unrolled,
     cond_sub,
     normalize,
@@ -215,8 +217,43 @@ def _make_level_kernel(
                     W_ref.at[0], opnd.at[slot, t], in_sem.at[slot, t]
                 ).wait()
 
-        def compute(slot, g):
-            # accumulator starts at qc
+        multi_bound = cios_multi_bound(params, t1, t2)
+
+        def compute_multi(slot, g):
+            """All the gate's terms in ONE fused-reduction CIOS chain
+            (cios_multi): the per-round m*p reduction, carries and the final
+            normalize are shared across terms instead of paid per term —
+            ~25-30% fewer vreg-ops per gate than per-term chains for the
+            headline 2-3 term gates.  qc joins the lazy accumulator before
+            the single normalize; the reduce chain covers the exact bound."""
+            pairs = []
+            for t in range(t1):
+                a = [
+                    (lambda j=j, t=t: desc_ref[off_lc + t * L + j, g]
+                     .astype(jnp.uint32))
+                    for j in range(L)
+                ]
+                b = [opnd[slot, t, j] for j in range(L)]
+                pairs.append((a, b))
+            for t in range(t2):
+                v1 = [opnd[slot, t1 + 2 * t, j] for j in range(L)]
+                v2 = [opnd[slot, t1 + 2 * t + 1, j] for j in range(L)]
+                prod = normalize(cios_unrolled(v1, v2, pl_, n0))  # < 2p
+                a = [
+                    (lambda j=j, t=t: desc_ref[off_mc + t * L + j, g]
+                     .astype(jnp.uint32))
+                    for j in range(L)
+                ]
+                pairs.append((a, prod))
+            lazy = cios_multi(pairs, pl_, n0)
+            lazy = [lazy[j] + desc_ref[off_qc + j, g] for j in range(L)]
+            r = _reduce_full(normalize(lazy), params, multi_bound)
+            for j in range(L):
+                outbuf[slot, j] = r[j]
+
+        def compute_per_term(slot, g):
+            # Per-term chains: the constant level (no pairs) and very wide
+            # gates whose fused bound would exceed the 4p/2p/p reduce chain.
             acc = [
                 jnp.full((s, 128), desc_ref[off_qc + j, g], jnp.uint32)
                 for j in range(L)
@@ -254,6 +291,11 @@ def _make_level_kernel(
             r = _reduce_full(normalize(acc), params, bound)
             for j in range(L):
                 outbuf[slot, j] = r[j]
+
+        if (t1 or t2) and multi_bound <= 8:
+            compute = compute_multi
+        else:
+            compute = compute_per_term
 
         def start_scatter(slot, g):
             pltpu.make_async_copy(

@@ -80,8 +80,10 @@ def _limbs_of(value: int) -> np.ndarray:
 
 @partial(jax.jit, static_argnames=("nw",))
 def _build_panel(cols: jnp.ndarray, vals: jnp.ndarray, nw: int) -> jnp.ndarray:
-    """(K,) column indices + (B, K, nl) limb values -> (B, nw, L) panel."""
+    """(K,) column indices + (B, K, nl) limb values -> (B, nw, L) panel.
+    ``vals`` may arrive uint16 (half-width upload); upcast on device."""
     B = vals.shape[0]
+    vals = vals.astype(jnp.uint32)
     if vals.shape[2] < NUM_LIMBS:
         vals = jnp.pad(
             vals, ((0, 0), (0, 0), (0, NUM_LIMBS - vals.shape[2]))
@@ -96,8 +98,10 @@ def _build_panel_rows(
 ) -> jnp.ndarray:
     """Witness-major variant: -> (nw, L, S, 128) with B = S*128.  Built
     directly in the fused-kernel layout so no full-panel transpose ever
-    materializes (the naive to_rows doubled peak HBM)."""
+    materializes (the naive to_rows doubled peak HBM).  ``vals`` may arrive
+    uint16 (half-width upload); upcast on device."""
     B, K, nl = vals.shape
+    vals = vals.astype(jnp.uint32)
     if nl < NUM_LIMBS:
         vals = jnp.pad(vals, ((0, 0), (0, 0), (0, NUM_LIMBS - nl)))
     S = B // 128
@@ -1683,7 +1687,8 @@ class BatchSolver:
                     nl = max(nl, (arr.dtype.itemsize * 8 + LIMB_BITS - 1)
                              // LIMB_BITS)
             cols_idx = np.asarray([w for w, _ in items], np.int32)
-            vals = np.zeros((B, len(items), nl), dtype=np.uint32)
+            # uint16 limbs: half the upload bytes (device build upcasts).
+            vals = np.zeros((B, len(items), nl), dtype=np.uint16)
             for k, (w, arr) in enumerate(items):
                 if arr.shape != (B,):
                     raise ValueError(
@@ -1717,16 +1722,18 @@ class BatchSolver:
             buf = b"".join(
                 int(v).to_bytes(nbytes, "little") for v in vals_o.reshape(-1)
             )
-            vals = (
-                np.frombuffer(buf, dtype="<u2")
-                .reshape(B, len(keys0), NUM_LIMBS)
-                .astype(np.uint32)
+            # Keep the native uint16 limb width: the upload ships half the
+            # bytes of a uint32 buffer (the device panel build upcasts).
+            vals = np.frombuffer(buf, dtype="<u2").reshape(
+                B, len(keys0), NUM_LIMBS
             )
             # Trim all-zero top limbs (byte/word inputs upload 16x less).
             nl = NUM_LIMBS
             while nl > 1 and not vals[:, :, nl - 1].any():
                 nl -= 1
-            return B, dict(cols=cols, vals=vals[:, :, :nl])
+            return B, dict(cols=cols, vals=np.ascontiguousarray(
+                vals[:, :, :nl]
+            ))
         # Non-uniform fallback: dense host panel.  One scratch column past the
         # real witnesses receives the scatter writes of shape-padding gates
         # (see _pad_static_level).
@@ -1927,22 +1934,56 @@ class BatchSolver:
         inflight = None  # (ok, fail) of the chunk currently on device
         with ThreadPoolExecutor(max_workers=1) as pool:
             bounds = [(lo, min(lo + limit, B)) for lo in range(0, B, limit)]
-            fut = pool.submit(
-                self._pack_host, self._slice_inputs(input_values, *bounds[0])
-            )
-            for k, (lo, hi) in enumerate(bounds):
-                with Timer() as t_pack:
-                    Bk, kwargs = fut.result()
-                if k + 1 < len(bounds):
-                    fut = pool.submit(
+            n = len(bounds)
+            pack_futs: dict = {}
+
+            def ensure_pack(k: int) -> None:
+                if k < n and k not in pack_futs:
+                    pack_futs[k] = pool.submit(
                         self._pack_host,
-                        self._slice_inputs(input_values, *bounds[k + 1]),
+                        self._slice_inputs(input_values, *bounds[k]),
                     )
-                if stats is not None:
-                    stats.pack_seconds += t_pack.elapsed
+
+            def stage(k: int):
+                """Wait for chunk k's host pack, kick off chunk k+1's pack,
+                and START the host->device upload of chunk k's input arrays
+                (jax.device_put is async, so when this runs right after
+                chunk k-1's segments are enqueued, the transfer rides behind
+                that compute instead of serializing in front of chunk k's —
+                the upload was the dominant per-chunk dead time)."""
+                Bk, kwargs = pack_futs.pop(k).result()
+                ensure_pack(k + 1)
+                if self.mesh is None:
+                    # Only arrays _finish_initial_state consumes as-is may
+                    # pre-upload (the dense-W path transposes on the host).
+                    if isinstance(kwargs.get("vals"), np.ndarray):
+                        kwargs = dict(
+                            kwargs, vals=jax.device_put(kwargs["vals"])
+                        )
+                    if "narrow" in kwargs:
+                        v2d, runs = kwargs["narrow"]
+                        if isinstance(v2d, np.ndarray):
+                            kwargs = dict(
+                                kwargs,
+                                narrow=(jax.device_put(v2d), runs),
+                            )
+                return Bk, kwargs
+
+            ensure_pack(0)
+            with Timer() as t_pack0:
+                staged = stage(0)
+            if stats is not None:
+                stats.pack_seconds += t_pack0.elapsed
+            for k, (lo, hi) in enumerate(bounds):
+                Bk, kwargs = staged
                 state = self._finish_initial_state(Bk, **kwargs)
                 W, ok, fail = self._dispatch_segments(state, stats)
                 del state, W  # panel freed once the last segment consumes it
+                if k + 1 < n:
+                    with Timer() as t_pack:
+                        staged = stage(k + 1)
+                    if stats is not None:
+                        stats.pack_seconds += t_pack.elapsed
                 if inflight is not None:
                     # Drain the PREVIOUS chunk's flags now that this chunk's
                     # device work is enqueued behind it.

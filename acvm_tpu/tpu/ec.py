@@ -219,6 +219,23 @@ def _tree_reduce_points(ctx, X, Y, Z, a_mont=None):
     n = X.shape[-2]
     if n == 1:
         return X[..., 0, :], Y[..., 0, :], Z[..., 0, :]
+    import os
+
+    if (
+        a_mont is None
+        and X.ndim == 3
+        and X.shape[0] % 1024 == 0
+        and not ctx.wide
+        and not os.environ.get("ACVM_TPU_NO_PALLAS")
+        and jax.default_backend() == "tpu"
+    ):
+        # Fused-kernel tree (ec_pallas): the whole complete-add formula in
+        # one Pallas program per round, shrinking panels (no parked-infinity
+        # lanes).  a = 0 curves only; the jnp tree below stays the fallback
+        # for small batches, wide fields, CPU, and a != 0.
+        from .ec_pallas import tree_reduce_fused
+
+        return tree_reduce_fused(ctx, X, Y, Z)
     if n % 2:
         pad = [(0, 0)] * (X.ndim - 2) + [(0, 1), (0, 0)]
         X, Y, Z = jnp.pad(X, pad), jnp.pad(Y, pad), jnp.pad(Z, pad)

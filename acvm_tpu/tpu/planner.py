@@ -531,6 +531,17 @@ class _Planner:
             ),
         ):
             outputs = [int(w) for w in call.get_outputs_vec()]
+            if len(outputs) != 32:
+                # No silent caps: a non-32-output digest shape (possible for
+                # KeccakVar per the wire format) is correct on the host stage
+                # but skips the device hash kernel — say so.
+                from ..utils.logging import get_logger
+
+                get_logger("tpu.planner").info(
+                    "opcode %d: %s with %d output witnesses routes to the "
+                    "host stage (device hash kernels need 32)",
+                    opcode_index, type(call).__name__, len(outputs),
+                )
             if len(outputs) == 32:
                 kind = {
                     ops.BBSha256: "sha256",

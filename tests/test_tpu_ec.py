@@ -154,3 +154,41 @@ def test_pedersen_two_input_circuit_on_device():
 
     solved = execute_circuit(serialize_circuit(circuit), {1: 0, 2: 1})
     assert f"{int(solved.get(Witness(3))):064x}" == gv.PEDERSEN_0_1[0]
+
+
+def test_fused_tree_msm_matches_host_at_batch_1024():
+    """The fused Pallas point-add tree (ec_pallas, engaged on TPU when the
+    batch is a multiple of 1024) must agree bit-for-bit with the host
+    grumpkin implementation, including the 0 / 1 / n-1 scalar edges."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("fused EC tree is a TPU kernel")
+    from acvm_tpu.blackbox.grumpkin import derive_generator
+    from acvm_tpu.fields.limbs import limbs_to_ints
+
+    B = 1024
+    gens = [derive_generator(0, i) for i in range(2)]
+    tables = jnp.stack([ec.window_table(tuple(g)) for g in gens])
+    n_order = grumpkin.params.n
+    s1 = [rng.randrange(n_order) for _ in range(B)]
+    s2 = [rng.randrange(n_order) for _ in range(B)]
+    s1[0], s2[0] = 0, 0
+    s1[1], s2[1] = 1, 0
+    s1[2], s2[2] = n_order - 1, 12345
+    scalars = jnp.stack(
+        [jnp.asarray(ints_to_limbs(s1)), jnp.asarray(ints_to_limbs(s2))],
+        axis=1,
+    )
+
+    fn = jax.jit(
+        lambda s: ec.pt_to_affine(CTX, ec.msm_fixed_tables(CTX, tables, s))
+    )
+    ax, ay = fn(scalars)
+    xs = limbs_to_ints(np.asarray(ax))
+    ys = limbs_to_ints(np.asarray(ay))
+    for i in (0, 1, 2, 3, 500, 1023):
+        expected = grumpkin.add(
+            grumpkin.mul(s1[i], tuple(gens[0])),
+            grumpkin.mul(s2[i], tuple(gens[1])),
+        )
+        got = None if (xs[i], ys[i]) == (0, 0) else (xs[i], ys[i])
+        assert got == expected, i

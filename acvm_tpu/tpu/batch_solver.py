@@ -140,6 +140,57 @@ def _build_panel_narrow(
     return W
 
 
+def _limb_cols_to_object(sel: np.ndarray) -> np.ndarray:
+    """(C, L, B) uint32 limb columns -> (B, C) object Python ints.
+
+    Host stages do arbitrary-precision math on object arrays, but per-limb
+    object composition costs 16 Python-object ops per element (~100 ms for
+    one witness column at B=8192).  Columns whose top limbs are all zero
+    (< 2^64 — the overwhelmingly common byte/int hint inputs) compose in
+    vectorized uint64 and box exactly once."""
+    C, L_, B = sel.shape
+    ints = np.zeros((B, C), dtype=object)
+    if C == 0:
+        return ints
+    wide = sel[:, 4:, :].any(axis=(1, 2))  # (C,)
+    narrow = np.nonzero(~wide)[0]
+    if narrow.size:
+        v = sel[narrow, 0].astype(np.uint64)
+        for li in range(1, 4):
+            v |= sel[narrow, li].astype(np.uint64) << np.uint64(LIMB_BITS * li)
+        ints[:, narrow] = v.T.astype(object)
+    for c in np.nonzero(wide)[0]:
+        acc = np.zeros(B, dtype=object)
+        for li in range(L_):
+            acc += sel[c, li].astype(object) << (LIMB_BITS * li)
+        ints[:, c] = acc
+    return ints
+
+
+def _object_cols_to_limbs(out_vals: np.ndarray) -> np.ndarray:
+    """(B, C) object ints (non-negative, reduced) -> (B, C, L) uint32 limbs,
+    with the same per-column uint64 fast path as :func:`_limb_cols_to_object`
+    (a value >= 2^64 raises OverflowError out of the vectorized cast and the
+    column falls back to object shifts)."""
+    B, C = out_vals.shape
+    limbs = np.zeros((B, C, NUM_LIMBS), dtype=np.uint32)
+    for c in range(C):
+        col = out_vals[:, c]
+        try:
+            v64 = col.astype(np.uint64)
+        except (OverflowError, TypeError):
+            for li in range(NUM_LIMBS):
+                limbs[:, c, li] = (
+                    (col >> (LIMB_BITS * li)) & MASK16
+                ).astype(np.uint32)
+            continue
+        for li in range(64 // LIMB_BITS):
+            limbs[:, c, li] = (
+                (v64 >> np.uint64(LIMB_BITS * li)) & np.uint64(MASK16)
+            ).astype(np.uint32)
+    return limbs
+
+
 def _to_host_np(x) -> np.ndarray:
     """Host numpy copy of a device array.  On a multi-process mesh the batch
     shards live on different hosts, so non-fully-addressable arrays are
@@ -1375,16 +1426,13 @@ class BatchSolver:
             sel = np.asarray(
                 jnp.take(W, jnp.asarray(cols, jnp.int32), axis=0)
             ).reshape(len(cols), NUM_LIMBS, B)
-            ints = np.zeros((B, len(cols)), dtype=object)
-            for li in range(NUM_LIMBS):
-                ints += sel[:, li, :].T.astype(object) << (LIMB_BITS * li)
+            ints = _limb_cols_to_object(sel)
             W_np = None
         else:
             W_np = _to_host_np(W)
             B = W_np.shape[0]
-            ints = np.zeros((B, len(cols)), dtype=object)
-            for li in range(NUM_LIMBS):
-                ints += W_np[:, cols, li].astype(object) << (LIMB_BITS * li)
+            sel = np.ascontiguousarray(W_np[:, cols, :].transpose(1, 2, 0))
+            ints = _limb_cols_to_object(sel)
         # Column store shared by every stage: batched stages read/write (B,)
         # object arrays; later stages see earlier stages' outputs.
         col_arrays: Dict[int, np.ndarray] = {
@@ -1534,11 +1582,7 @@ class BatchSolver:
         # Push writes back as limb columns.
         limbs = None
         if write_cols:
-            limbs = np.zeros((B, len(write_cols), NUM_LIMBS), dtype=np.uint32)
-            for li in range(NUM_LIMBS):
-                limbs[:, :, li] = (
-                    (out_vals >> (LIMB_BITS * li)) & MASK16
-                ).astype(np.uint32)
+            limbs = _object_cols_to_limbs(out_vals)
         if isinstance(W, jax.Array) and not W.is_fully_addressable:
             # Multi-process mesh: a per-column device scatter would mix
             # process-local update operands with a global array, so rebuild

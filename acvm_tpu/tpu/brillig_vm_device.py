@@ -208,7 +208,10 @@ def _bool_limbs(flag: jnp.ndarray) -> jnp.ndarray:
     return out.at[..., 0].set(flag.astype(jnp.uint32))
 
 
-@partial(jax.jit, static_argnames=("prog", "n_regs", "mem_cap", "max_steps"))
+@partial(
+    jax.jit,
+    static_argnames=("prog", "n_regs", "mem_cap", "max_steps", "unroll"),
+)
 def _run_vm(
     regs0: jnp.ndarray,  # (B, NR, L) initial registers
     mem0: jnp.ndarray,  # (B, M, L) initial memory
@@ -216,6 +219,7 @@ def _run_vm(
     n_regs: int,
     mem_cap: int,
     max_steps: int,
+    unroll: int = 4,
 ):
     """Run the SIMD interpreter; returns (regs, mem, trap_fail, escape)."""
     program: _Program = prog.program
@@ -233,31 +237,99 @@ def _run_vm(
     t_const = jnp.asarray(program.const)
     idx = jnp.arange(B)
 
+    # Per-row dynamic gathers/scatters lower to scalar-core loops on TPU and
+    # dominated the step (measured ~630 us/step at B=8192, ~95% of the VM's
+    # runtime); for the small tables involved (bytecode length, register
+    # file, memory cap) a where-chain over a one-hot comparison is a handful
+    # of full-width vector selects instead.  Beyond the threshold the
+    # gather is likely cheaper than a 100+-way select chain.
+    _SEL = 48
+
+    def take_small(table, rows, n):
+        """table (n, ...) gathered at rows (B,) -> (B, ...)."""
+        if n > _SEL:
+            return jnp.take(table, rows, axis=0)
+        extra = table.ndim - 1
+        cond = [rows == i for i in range(n)]
+        out = jnp.zeros((B,) + table.shape[1:], table.dtype)
+        for i in range(n):
+            c = cond[i].reshape((B,) + (1,) * extra)
+            out = jnp.where(c, table[i], out)
+        return out
+
+    def row_gather(panel, rows, n):
+        """panel (B, n, ...) gathered at per-row rows (B,) -> (B, ...)."""
+        if n > _SEL:
+            return panel[idx, rows]
+        extra = panel.ndim - 2
+        out = jnp.zeros((B,) + panel.shape[2:], panel.dtype)
+        for i in range(n):
+            c = (rows == i).reshape((B,) + (1,) * extra)
+            out = jnp.where(c, panel[:, i], out)
+        return out
+
+    def row_scatter(panel, rows, val, do, n):
+        """panel (B, n, ...) with val (B, ...) written at rows where do."""
+        if n > _SEL:
+            return panel.at[idx, rows].set(
+                jnp.where(
+                    do.reshape((B,) + (1,) * (panel.ndim - 2)),
+                    val,
+                    panel[idx, rows],
+                )
+            )
+        extra = panel.ndim - 2
+        cols = []
+        for i in range(n):
+            c = (do & (rows == i)).reshape((B,) + (1,) * extra)
+            cols.append(jnp.where(c, val, panel[:, i]))
+        return jnp.stack(cols, axis=1)
+
     def cond(state):
         pc, halted, trap, escape, regs, mem, cstack, sp, steps = state
         return jnp.any(~(halted | trap | escape)) & (steps < max_steps)
+
+    def stepN(state):
+        # Unrolled multi-step body: the while loop's per-iteration overhead
+        # (cond evaluation, state threading) dominated short opcodes at
+        # ~127 us/step; halted/trapped instances are no-ops inside step()
+        # (every write is gated on ``live``), so running ``unroll`` pcs per
+        # iteration is semantics-preserving.
+        for _ in range(unroll):
+            state = step(state)
+        return state
 
     def step(state):
         pc, halted, trap, escape, regs, mem, cstack, sp, steps = state
         live = ~(halted | trap | escape)
         pcc = jnp.clip(pc, 0, n_pc - 1)
-        kind = kinds[pcc]
-        dst = jnp.clip(t_dst[pcc], 0, n_regs - 1)
-        a = regs[idx, jnp.clip(t_lhs[pcc], 0, n_regs - 1)]  # (B, L)
-        b = regs[idx, jnp.clip(t_rhs[pcc], 0, n_regs - 1)]
-        loc = t_loc[pcc]
+        kind = take_small(kinds, pcc, n_pc)
+        dst = jnp.clip(take_small(t_dst, pcc, n_pc), 0, n_regs - 1)
+        a = row_gather(
+            regs, jnp.clip(take_small(t_lhs, pcc, n_pc), 0, n_regs - 1),
+            n_regs,
+        )  # (B, L)
+        b = row_gather(
+            regs, jnp.clip(take_small(t_rhs, pcc, n_pc), 0, n_regs - 1),
+            n_regs,
+        )
+        loc = take_small(t_loc, pcc, n_pc)
 
         res = jnp.zeros((B, L), jnp.uint32)
         new_trap = jnp.zeros((B,), bool)
         new_escape = jnp.zeros((B,), bool)
 
         if K_CONST in program.kinds_present:
-            res = jnp.where((kind == K_CONST)[:, None], t_const[pcc], res)
+            res = jnp.where(
+                (kind == K_CONST)[:, None],
+                take_small(t_const, pcc, n_pc),
+                res,
+            )
         if K_MOV in program.kinds_present:
             res = jnp.where((kind == K_MOV)[:, None], a, res)
 
         if K_BIN_FIELD in program.kinds_present:
-            sub = t_sub[pcc]
+            sub = take_small(t_sub, pcc, n_pc)
             sel = kind == K_BIN_FIELD
             f = br.BinaryFieldOp
             fres = jnp.zeros((B, L), jnp.uint32)
@@ -288,10 +360,10 @@ def _run_vm(
             res = jnp.where(sel[:, None], fres, res)
 
         if K_BIN_INT in program.kinds_present:
-            sub = t_sub[pcc]
+            sub = take_small(t_sub, pcc, n_pc)
             sel = kind == K_BIN_INT
-            opm = t_mask[pcc]  # (B, L)
-            bits = t_bits[pcc]  # (B,)
+            opm = take_small(t_mask, pcc, n_pc)  # (B, L)
+            bits = take_small(t_bits, pcc, n_pc)  # (B,)
             am = a & opm
             bm = b & opm
             i = br.BinaryIntOp
@@ -364,7 +436,10 @@ def _run_vm(
             sel = kind == K_LOAD
             ptr, huge = _scalar_of(a)
             oob = huge | (ptr >= mem_cap)
-            val = mem[idx, jnp.clip(ptr, 0, mem_cap - 1).astype(jnp.int32)]
+            val = row_gather(
+                mem, jnp.clip(ptr, 0, mem_cap - 1).astype(jnp.int32),
+                mem_cap,
+            )
             res = jnp.where((sel & ~oob)[:, None], val, res)
             new_escape = new_escape | (live & sel & oob)
 
@@ -374,9 +449,7 @@ def _run_vm(
             oob = huge | (ptr >= mem_cap)
             do = live & sel & ~oob
             ptr_c = jnp.clip(ptr, 0, mem_cap - 1).astype(jnp.int32)
-            mem = mem.at[idx, ptr_c].set(
-                jnp.where(do[:, None], a, mem[idx, ptr_c])
-            )
+            mem = row_scatter(mem, ptr_c, a, do, mem_cap)
             new_escape = new_escape | (live & sel & oob)
 
         # register write-back
@@ -385,9 +458,7 @@ def _run_vm(
             if k in program.kinds_present:
                 writes = writes | (kind == k)
         writes = writes & live & ~new_trap & ~new_escape
-        regs = regs.at[idx, dst].set(
-            jnp.where(writes[:, None], res, regs[idx, dst])
-        )
+        regs = row_scatter(regs, dst, res, writes, n_regs)
 
         # control flow
         next_pc = pc + 1
@@ -404,9 +475,7 @@ def _run_vm(
             over = sp >= CALL_STACK_DEPTH
             sp_c = jnp.clip(sp, 0, CALL_STACK_DEPTH - 1)
             do = live & sel & ~over
-            cstack = cstack.at[idx, sp_c].set(
-                jnp.where(do, pc, cstack[idx, sp_c])
-            )
+            cstack = row_scatter(cstack, sp_c, pc, do, CALL_STACK_DEPTH)
             sp = jnp.where(do, sp + 1, sp)
             next_pc = jnp.where(sel, loc, next_pc)
             new_escape = new_escape | (live & sel & over)
@@ -417,7 +486,7 @@ def _run_vm(
             # reference failure (lib.rs:263-267).
             new_trap = new_trap | (live & sel & empty)
             sp_c = jnp.clip(sp - 1, 0, CALL_STACK_DEPTH - 1)
-            ret = cstack[idx, sp_c] + 1
+            ret = row_gather(cstack, sp_c, CALL_STACK_DEPTH) + 1
             next_pc = jnp.where(sel & ~empty, ret, next_pc)
             sp = jnp.where(live & sel & ~empty, sp - 1, sp)
         if K_TRAP in program.kinds_present:
@@ -443,7 +512,7 @@ def _run_vm(
         jnp.asarray(0, jnp.int32),
     )
     pc, halted, trap, escape, regs, mem, cstack, sp, steps = (
-        jax.lax.while_loop(cond, step, state)
+        jax.lax.while_loop(cond, stepN, state)
     )
     # Instances still live at the step cap are escapes (host re-runs them;
     # the reference would keep looping).
@@ -545,10 +614,20 @@ def run_brillig_vm_batch(
         out = np.zeros((batch, max(n, 1), L), np.uint32)
         nbytes = L * LIMB_BITS // 8
         for k, col in enumerate(cols):
-            buf = b"".join(
-                (int(v) % p).to_bytes(nbytes, "little") for v in col
-            )
-            out[:, k] = np.frombuffer(buf, dtype="<u2").reshape(batch, L)
+            try:
+                # < 2^64 (< p, so already reduced): vectorized limb split
+                # instead of per-element to_bytes.
+                v64 = col.astype(np.uint64)
+            except (OverflowError, TypeError):
+                buf = b"".join(
+                    (int(v) % p).to_bytes(nbytes, "little") for v in col
+                )
+                out[:, k] = np.frombuffer(buf, dtype="<u2").reshape(batch, L)
+                continue
+            for li in range(64 // LIMB_BITS):
+                out[:, k, li] = (
+                    (v64 >> np.uint64(LIMB_BITS * li)) & np.uint64(0xFFFF)
+                ).astype(np.uint32)
         return out
 
     regs0 = np.zeros((batch, n_regs, L), np.uint32)
@@ -566,20 +645,37 @@ def run_brillig_vm_batch(
         jnp.asarray(regs0), jnp.asarray(mem0), prog, n_regs, mem_cap,
         max_steps,
     )
-    if bool(jnp.any(escape)):
+    # ONE consolidated device->host transfer: separate np.asarray readbacks
+    # cost one ~24 ms tunnel round trip EACH (escape + trap + regs + mem was
+    # ~100 ms of pure RTT), and the memory panel only matters when the block
+    # has array outputs.
+    has_array_out = any(
+        isinstance(o, ops.BrilligOutputArray) for o in brillig.outputs
+    )
+    fetch = [escape, trap, regs[:, : len(brillig.outputs)]]
+    if has_array_out:
+        fetch.append(mem)
+    fetched = jax.device_get(fetch)
+    escape_np, trap_np, regs_np = fetched[0], fetched[1], fetched[2]
+    mem_np = fetched[3] if has_array_out else None
+    if escape_np.any():
         raise HostBatchFallback(
             "device VM capacity escape (memory/call-stack/step bound)"
         )
-    trap_np = np.asarray(trap)
 
     def limbs_to_obj(arr: np.ndarray) -> np.ndarray:
+        if not arr[..., 4:].any():
+            # < 2^64: compose in vectorized uint64, box once.
+            v = arr[..., 0].astype(np.uint64)
+            for li in range(1, 64 // LIMB_BITS):
+                v |= arr[..., li].astype(np.uint64) << np.uint64(
+                    LIMB_BITS * li
+                )
+            return v.astype(object)
         acc = np.zeros(arr.shape[:-1], dtype=object)
         for li in range(L):
             acc += arr[..., li].astype(object) << (LIMB_BITS * li)
         return acc
-
-    regs_np = np.asarray(regs[:, : len(brillig.outputs)])
-    mem_np = np.asarray(mem)
     out: Dict[int, np.ndarray] = {}
     pred_mask = None
     if pred is not None:

@@ -335,6 +335,22 @@ def msm_fixed_tables(
 
 def scalar_mul(ctx: LimbContext, point, scalar_limbs: jnp.ndarray, a_mont=None):
     """Generic double-and-add for variable bases (MSB-first scan)."""
+    import os
+
+    if (
+        a_mont is None
+        and scalar_limbs.ndim == 2
+        and scalar_limbs.shape[0] % 1024 == 0
+        and not ctx.wide
+        and not os.environ.get("ACVM_TPU_NO_PALLAS")
+        and jax.default_backend() == "tpu"
+    ):
+        # Fused-kernel ladder (ec_pallas): one Pallas complete-add per
+        # double / conditional-add step instead of ~32 dispatch-bound
+        # multiplies per scalar bit.
+        from .ec_pallas import scalar_mul_fused
+
+        return scalar_mul_fused(ctx, point, scalar_limbs)
     acc = pt_infinity(ctx, scalar_limbs.shape[:-1])
     bit_indices = jnp.arange(NUM_LIMBS * LIMB_BITS - 1, -1, -1)
 

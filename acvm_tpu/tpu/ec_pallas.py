@@ -176,6 +176,45 @@ def pt_add_pairs(P: jnp.ndarray, params: FieldParams = BN254_FR) -> jnp.ndarray:
     )(P, P)
 
 
+def scalar_mul_fused(ctx, point, scalar_limbs):
+    """Variable-base double-and-add ladder through the fused add kernel.
+
+    ``point``: (x, y, z) Montgomery Jacobian (B, L) arrays; ``scalar_limbs``
+    (B, L) standard form.  MSB-first scan, identical group-law semantics to
+    `ec.scalar_mul` (doubling rides the complete add's equal-points branch —
+    3x the muls of a dedicated double, but one Pallas program per step
+    instead of ~8 separate HBM-bound multiplies; the jnp ladder at B = 2048
+    paid per-op dispatch on ~32 multiplies per bit).  a = 0 curves only."""
+    B = scalar_limbs.shape[0]
+    S = B // 128
+
+    def to_tiled(pt):
+        return jnp.stack(pt, axis=0).transpose(0, 2, 1).reshape(
+            3, L, S, 128
+        )
+
+    base = to_tiled(point)
+    acc = jnp.zeros((3, L, S, 128), jnp.uint32)
+    bit_indices = jnp.arange(NUM_LIMBS * LIMB_BITS - 1, -1, -1)
+    sc_tiled = scalar_limbs.T.reshape(L, S, 128)
+
+    def body(acc, i):
+        dbl = pt_add_pairs(jnp.stack([acc, acc], axis=0), ctx.params)[0]
+        added = pt_add_pairs(
+            jnp.stack([dbl, base], axis=0), ctx.params
+        )[0]
+        limb = jax.lax.dynamic_index_in_dim(
+            sc_tiled, i // LIMB_BITS, axis=0, keepdims=False
+        )  # (S, 128)
+        bit = (limb >> (i % LIMB_BITS)) & 1
+        acc = jnp.where((bit == 1)[None, None], added, dbl)
+        return acc, None
+
+    acc, _ = jax.lax.scan(body, acc, bit_indices)
+    out = acc.reshape(3, L, B)
+    return out[0].T, out[1].T, out[2].T
+
+
 def tree_reduce_fused(ctx, X, Y, Z):
     """Pairwise tree reduction of a (B, N, L) Jacobian panel via the fused
     kernel -> ((B, L),) * 3 point.  Rounds shrink the panel (N -> N/2), so

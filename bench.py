@@ -428,7 +428,9 @@ def _run_extra(name: str, batch: int):
     if name == "schnorr_solves_per_sec":
         # Cost model (BASELINE.md "EC gadget cost models"): dominated by the
         # 256-round variable-base e*P ladder (~6.6k montmuls/instance).
-        return _gadget_throughput("schnorr", 256, 2, 32)
+        # B = 1024 engages the fused-kernel ladder (ec_pallas.scalar_mul_fused
+        # needs the batch to be a multiple of 1024).
+        return _gadget_throughput("schnorr", 1024, 2, 32)
     if name == "ecdsa_k1_solves_per_sec":
         return _gadget_throughput("ecdsa_k1", 256, 2, 0)
     if name == "fixed_base_solves_per_sec":

@@ -192,3 +192,36 @@ def test_fused_tree_msm_matches_host_at_batch_1024():
         )
         got = None if (xs[i], ys[i]) == (0, 0) else (xs[i], ys[i])
         assert got == expected, i
+
+
+def test_fused_ladder_scalar_mul_matches_host_at_batch_1024():
+    """The fused-kernel variable-base ladder (ec_pallas.scalar_mul_fused,
+    engaged on TPU at B % 1024 == 0) must match the host implementation."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("fused EC ladder is a TPU kernel")
+    from acvm_tpu.fields.limbs import limbs_to_ints
+
+    B = 1024
+    base = grumpkin.mul(424242, G)
+    r = BN254_FR.r
+    p = BN254_FR.modulus
+    base_pt = (
+        jnp.asarray(ints_to_limbs([(base[0] * r) % p] * B)),
+        jnp.asarray(ints_to_limbs([(base[1] * r) % p] * B)),
+        jnp.asarray(ints_to_limbs([r % p] * B)),
+    )
+    n_order = grumpkin.params.n
+    scalars = [rng.randrange(n_order) for _ in range(B)]
+    scalars[0], scalars[1], scalars[2] = 0, 1, n_order - 1
+    arr = jnp.asarray(ints_to_limbs(scalars))
+
+    fn = jax.jit(
+        lambda s: ec.pt_to_affine(CTX, ec.scalar_mul(CTX, base_pt, s))
+    )
+    ax, ay = fn(arr)
+    xs = limbs_to_ints(np.asarray(ax))
+    ys = limbs_to_ints(np.asarray(ay))
+    for i in (0, 1, 2, 3, 999):
+        expected = grumpkin.mul(scalars[i], base)
+        got = None if (xs[i], ys[i]) == (0, 0) else (xs[i], ys[i])
+        assert got == expected, i
